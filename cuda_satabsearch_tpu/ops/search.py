@@ -1,0 +1,171 @@
+"""High-level search orchestration: buckets, chunking, key derivation.
+
+Drives the vectorized engine (ops/engine.py) over a PackedDB, mirroring
+the role of the reference host driver's per-query launch loop
+(cudaSaTabsearch.cu:987-1115) but with size buckets instead of the
+small/large two-pass split, and deterministic per-entry RNG keys derived
+from the entry's position in the database file (stable across bucketing
+and sharding).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import DEFAULT_MAXSTART, SAParams, DEFAULTS
+from ..io.pack import PackedBucket, PackedDB, PackedQuery
+from .engine import make_bucket_search
+
+DEFAULT_SEED = 1234  # the reference's fixed seed (cudaSaTabsearch.cu:263,:871)
+
+# target elements per (entries x d2 x chains) chunk, bounding temporary
+# memory; chunks are padded to a common size to avoid jit recompiles
+_CHUNK_BUDGET = 32 * 1024 * 1024
+
+
+@dataclass
+class SearchResult:
+    scores: np.ndarray  # int32 [nentries], database file order
+    ssemaps: np.ndarray  # int32 [nentries, n1], -1 where unmapped
+    names: list[str]
+    orders: np.ndarray  # int32 [nentries]
+    query_order: int
+    maxstart: int
+
+    @property
+    def nentries(self) -> int:
+        return len(self.names)
+
+
+def choose_chains(maxstart: int, c_max: int = 128) -> tuple[int, int]:
+    """Split total restarts into (parallel chains, sequential restarts).
+
+    The chain axis fills TPU lanes, so we prefer the largest divisor of
+    ``maxstart`` that is <= c_max (the reference requires maxstart to be
+    a multiple of its 128-thread block for the same reason,
+    cudaSaTabsearch.cu:34-35).
+    """
+    if maxstart < 1:
+        raise ValueError("maxstart must be >= 1")
+    for c in range(min(maxstart, c_max), 0, -1):
+        if maxstart % c == 0:
+            return c, maxstart // c
+    return 1, maxstart
+
+
+def entry_keys(seed: int, query_tag: int, indices: np.ndarray) -> jax.Array:
+    """Per-entry RNG keys: fold the query tag then the entry's file-order
+    index into the base seed (counter-based replacement for the
+    reference's 16384 CURAND states, cudaSaTabsearch.cu:258-264)."""
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), query_tag)
+    return jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.asarray(indices, dtype=jnp.uint32))
+
+
+def _chunk_size(d2: int, c_par: int, nentries: int) -> int:
+    per_entry = d2 * c_par
+    cs = max(64, _CHUNK_BUDGET // max(per_entry, 1))
+    return min(cs, max(nentries, 1))
+
+
+def search_bucket(query: PackedQuery, bucket: PackedBucket, *,
+                  maxstart: int, lorder: bool, seed: int, query_tag: int,
+                  c_max: int = 128, gather_mode: str = "take",
+                  params: SAParams = DEFAULTS,
+                  device_arrays: dict | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Search one packed bucket; returns (scores [N], bestmaps [N, n1])."""
+    n1, d2 = query.order, bucket.dim
+    c_par, r_seq = choose_chains(maxstart, c_max)
+    fn = make_bucket_search(n1, d2, c_par, r_seq, lorder, gather_mode, params)
+
+    qargs = (jnp.asarray(query.types), jnp.asarray(query.tabhi),
+             jnp.asarray(query.tablo), jnp.asarray(query.dmat))
+    if device_arrays is not None:
+        types2, tabhi2, tablo2, dmat2 = (device_arrays["types"],
+                                         device_arrays["tabhi"],
+                                         device_arrays["tablo"],
+                                         device_arrays["dmat"])
+        orders = device_arrays["orders"]
+    else:
+        types2 = jnp.asarray(bucket.types)
+        tabhi2 = jnp.asarray(bucket.tabhi)
+        tablo2 = jnp.asarray(bucket.tablo)
+        dmat2 = jnp.asarray(bucket.dmat)
+        orders = jnp.asarray(bucket.orders)
+    keys = entry_keys(seed, query_tag, bucket.index)
+
+    n = bucket.size
+    cs = _chunk_size(d2, c_par, n)
+    scores = np.empty((n,), np.int32)
+    maps = np.empty((n, n1), np.int32)
+    for start in range(0, n, cs):
+        end = min(start + cs, n)
+        sl = slice(start, end)
+        if end - start < cs and n > cs:
+            # pad the tail chunk to the common size to reuse the compile
+            pad = cs - (end - start)
+            idx = np.concatenate([np.arange(start, end),
+                                  np.zeros(pad, np.int64)])
+            s, m = fn(*qargs, types2[idx], tabhi2[idx], tablo2[idx],
+                      dmat2[idx], orders[idx], keys[idx])
+            scores[sl] = np.asarray(s)[:end - start]
+            maps[sl] = np.asarray(m)[:end - start]
+        else:
+            s, m = fn(*qargs, types2[sl], tabhi2[sl], tablo2[sl],
+                      dmat2[sl], orders[sl], keys[sl])
+            scores[sl] = np.asarray(s)
+            maps[sl] = np.asarray(m)
+    return scores, maps
+
+
+def search_db(query: PackedQuery, db: PackedDB, *,
+              maxstart: int = DEFAULT_MAXSTART, lorder: bool = True,
+              seed: int = DEFAULT_SEED, query_tag: int = 0,
+              c_max: int = 128, gather_mode: str = "take",
+              params: SAParams = DEFAULTS,
+              device_db: dict | None = None) -> SearchResult:
+    """Search the whole packed DB; results in database file order."""
+    n1 = query.order
+    scores = np.zeros((db.nentries,), np.int32)
+    maps = np.full((db.nentries, n1), -1, np.int32)
+    for bi, bucket in enumerate(db.buckets):
+        darr = device_db.get(bi) if device_db is not None else None
+        s, m = search_bucket(query, bucket, maxstart=maxstart,
+                             lorder=lorder, seed=seed, query_tag=query_tag,
+                             c_max=c_max, gather_mode=gather_mode,
+                             params=params, device_arrays=darr)
+        scores[bucket.index] = s
+        maps[bucket.index] = m
+    return SearchResult(scores=scores, ssemaps=maps, names=db.names,
+                        orders=db.orders, query_order=n1, maxstart=maxstart)
+
+
+def upload_db(db: PackedDB, device=None, sharding=None) -> dict:
+    """Pre-upload packed DB arrays to device(s) once (the analog of the
+    reference's one-time cudaMemcpy3D of the whole DB,
+    cudaSaTabsearch.cu:924-963).  Returns {bucket_idx: arrays dict}.
+
+    If ``sharding`` is given (a callable bucket_size -> jax.sharding
+    .Sharding or a fixed Sharding), arrays are placed with their entry
+    axis sharded across the mesh.
+    """
+    out = {}
+    for bi, b in enumerate(db.buckets):
+        def put(x):
+            if sharding is not None:
+                s = sharding(b.size) if callable(sharding) else sharding
+                return jax.device_put(jnp.asarray(x), s)
+            if device is not None:
+                return jax.device_put(jnp.asarray(x), device)
+            return jnp.asarray(x)
+
+        out[bi] = {"types": put(b.types), "tabhi": put(b.tabhi),
+                   "tablo": put(b.tablo), "dmat": put(b.dmat),
+                   "orders": put(b.orders)}
+    return out

@@ -1,0 +1,120 @@
+"""Parser/writer tests against the reference fixture databases."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from conftest import random_entry
+from cuda_satabsearch_tpu.io.parser import (parse_search_input, parse_string,
+                                            read_database)
+from cuda_satabsearch_tpu.io.writer import format_entry
+from cuda_satabsearch_tpu.io.pack import pack_database, pack_query
+from cuda_satabsearch_tpu.core import codes
+
+
+def test_parse_test_db(ref_dir):
+    db = read_database(os.path.join(ref_dir, "nvcc_src_current",
+                                    "tableauxdistmatrixdb.test.ascii"))
+    assert len(db) == 1
+    e = db[0]
+    assert e.name == "d1ndda_"
+    assert e.order == 8
+    # first SSE is a strand, third an alpha helix
+    assert e.types[0] == codes.SSE_CODES["e"]
+    assert e.types[2] == codes.SSE_CODES["xa"]
+    # tab[1,0] == "OT"
+    assert (e.tabhi[1, 0], e.tablo[1, 0]) == codes.encode_tabcode("OT")
+    # symmetric
+    np.testing.assert_array_equal(e.tabhi, e.tabhi.T)
+    np.testing.assert_array_equal(e.dmat, e.dmat.T)
+    assert e.dmat[1, 0] == pytest.approx(4.127, abs=1e-5)
+    assert e.dmat[7, 6] == pytest.approx(15.426, abs=1e-5)
+
+
+def test_parse_small_db(ref_dir):
+    db = read_database(os.path.join(ref_dir, "nvcc_src_current",
+                                    "tableauxdistmatrixdb.small.ascii"))
+    # README_example_usage.txt:32 -> 586 entries, none above order 96
+    assert len(db) == 586
+    assert max(e.order for e in db) <= 96
+
+
+def test_parse_input_payload(ref_dir):
+    with open(os.path.join(ref_dir, "nvcc_src_current", "d1ubia_.input")) as fp:
+        si = parse_search_input(fp)
+    assert si.dbfile == "tableauxdistmatrixdb.test.ascii"
+    assert (si.ltype, si.lorder, si.lsoln) == (True, True, True)
+    assert len(si.queries) == 1
+    assert si.queries[0].name == "D1UBIA_"
+    assert si.queries[0].order == 8
+
+
+def test_parse_multiquery(ref_dir):
+    with open(os.path.join(ref_dir, "nvcc_src_current", "multiquery.input")) as fp:
+        si = parse_search_input(fp)
+    assert [(q.name, q.order) for q in si.queries] == [
+        ("D1UBIA_", 8), ("D1AE6H1", 13), ("d1twfa_", 101)]
+
+
+def test_roundtrip_format(ref_dir):
+    """format_entry(parse(x)) re-parses to identical arrays."""
+    db = read_database(os.path.join(ref_dir, "nvcc_src_current",
+                                    "tableauxdistmatrixdb.test2.ascii"))
+    e = db[0]
+    e2 = parse_string(format_entry(e))
+    assert e2.name == e.name and e2.order == e.order
+    np.testing.assert_array_equal(e2.tabhi, e.tabhi)
+    np.testing.assert_array_equal(e2.tablo, e.tablo)
+    np.testing.assert_array_equal(e2.types, e.types)
+    np.testing.assert_allclose(e2.dmat, e.dmat, atol=5e-4)
+
+
+def test_roundtrip_synthetic():
+    rng = np.random.default_rng(0)
+    e = random_entry(rng, 13, "synth13")
+    e2 = parse_string(format_entry(e))
+    np.testing.assert_array_equal(e2.tabhi, e.tabhi)
+    np.testing.assert_array_equal(e2.types, e.types)
+    np.testing.assert_allclose(e2.dmat, e.dmat, atol=5e-4)
+
+
+def test_oversize_skipped():
+    rng = np.random.default_rng(1)
+    big = random_entry(rng, 120, "toobig")
+    small = random_entry(rng, 5, "ok")
+    text = format_entry(big) + "\n" + format_entry(small)
+    db = read_database(io.StringIO(text))
+    assert [e.name for e in db] == ["ok"]
+
+
+def test_pack_buckets(ref_dir):
+    entries = read_database(os.path.join(ref_dir, "nvcc_src_current",
+                                         "tableauxdistmatrixdb.small.ascii"))
+    db = pack_database(entries)
+    assert db.nentries == 586
+    assert sum(b.size for b in db.buckets) == 586
+    # every entry lands in the smallest bucket that fits it
+    for b in db.buckets:
+        assert (b.orders <= b.dim).all()
+    # file-order index partitions 0..585
+    allidx = np.concatenate([b.index for b in db.buckets])
+    assert sorted(allidx.tolist()) == list(range(586))
+    # packed content matches a reparse
+    b0 = db.buckets[0]
+    ent = db.entry(0, 0)
+    src = entries[b0.index[0]]
+    np.testing.assert_array_equal(ent.tabhi, src.tabhi)
+    np.testing.assert_allclose(ent.dmat, src.dmat)
+    # lookup
+    bi, i = db.lookup(src.name.upper())
+    assert db.buckets[bi].names[i] == src.name
+
+
+def test_pack_query():
+    rng = np.random.default_rng(2)
+    e = random_entry(rng, 9)
+    q = pack_query(e)
+    assert q.order == 9
+    np.testing.assert_array_equal(q.types, e.types)
