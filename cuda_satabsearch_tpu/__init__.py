@@ -26,3 +26,15 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: compiles on the TPU tunnel backend can
+# take minutes and serialize on a remote compile service, so losing them
+# across processes is very costly.  Set before jax initializes its config
+# (importing this package before jax is enough; jax also re-reads the env
+# var lazily for the cache dir).
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "satabsearch_xla"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -63,7 +63,8 @@ class PackedDB:
             self._by_name = {}
             for bi, b in enumerate(self.buckets):
                 for i, n in enumerate(b.names):
-                    self._by_name.setdefault(n.lower(), (bi, i))
+                    if b.index[i] >= 0:
+                        self._by_name.setdefault(n.lower(), (bi, i))
         return self._by_name.get(key)
 
     def entry(self, bucket_idx: int, idx: int) -> TableauEntry:
@@ -103,7 +104,15 @@ def pack_query(e: TableauEntry) -> PackedQuery:
 
 
 def pack_database(entries: list[TableauEntry],
-                  buckets: tuple[int, ...] = DEFAULT_BUCKETS) -> PackedDB:
+                  buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+                  pad_to: int = 1) -> PackedDB:
+    """Pack entries into buckets.
+
+    pad_to: pad each bucket's entry count up to a multiple of this (the
+    device-mesh size), so the entry axis can be sharded evenly.  Padding
+    entries have order 1, TYPE_PAD types, and index -1 (dropped at
+    result-assembly time).
+    """
     if buckets != tuple(sorted(buckets)):
         raise ValueError("bucket caps must be ascending")
     if buckets[-1] < MAXDIM:
@@ -124,14 +133,14 @@ def pack_database(entries: list[TableauEntry],
         grp = groups[cap]
         if not grp:
             continue
-        n = len(grp)
+        n = -(-len(grp) // pad_to) * pad_to
         tabhi = np.zeros((n, cap, cap), dtype=np.int8)
         tablo = np.zeros((n, cap, cap), dtype=np.int8)
         types = np.full((n, cap), TYPE_PAD, dtype=np.int8)
         dmat = np.full((n, cap, cap), DMAT_PAD, dtype=np.float32)
-        orders = np.zeros((n,), dtype=np.int32)
-        index = np.zeros((n,), dtype=np.int32)
-        names = []
+        orders = np.ones((n,), dtype=np.int32)
+        index = np.full((n,), -1, dtype=np.int32)
+        names = ["<pad>"] * n
         for i, (pos, e) in enumerate(grp):
             o = e.order
             tabhi[i, :o, :o] = e.tabhi
@@ -140,7 +149,7 @@ def pack_database(entries: list[TableauEntry],
             dmat[i, :o, :o] = e.dmat
             orders[i] = o
             index[i] = pos
-            names.append(e.name)
+            names[i] = e.name
         packed.append(PackedBucket(dim=cap, tabhi=tabhi, tablo=tablo,
                                    types=types, dmat=dmat, orders=orders,
                                    names=names, index=index))

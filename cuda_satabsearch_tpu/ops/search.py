@@ -23,9 +23,20 @@ from .engine import make_bucket_search
 
 DEFAULT_SEED = 1234  # the reference's fixed seed (cudaSaTabsearch.cu:263,:871)
 
-# target elements per (entries x d2 x chains) chunk, bounding temporary
-# memory; chunks are padded to a common size to avoid jit recompiles
-_CHUNK_BUDGET = 32 * 1024 * 1024
+# Entries per compiled call.  Bounds XLA compile time (which grows
+# superlinearly with the vmapped batch on the TPU backend: ~4 s at 128
+# entries vs ~400 s at 417, measured on v5e) and temporary memory;
+# chunks are padded to a common size so each bucket shape compiles once.
+_CHUNK_ENTRIES = 128
+
+
+def resolve_gather_mode(gather_mode: str) -> str:
+    """'auto' -> 'onehot' on TPU-like backends (per-lane gathers are
+    ~20x slower than one-hot MXU/VPU contractions there, measured on
+    v5e), 'take' on CPU where native gathers win."""
+    if gather_mode != "auto":
+        return gather_mode
+    return "take" if jax.default_backend() == "cpu" else "onehot"
 
 
 @dataclass
@@ -67,25 +78,36 @@ def entry_keys(seed: int, query_tag: int, indices: np.ndarray) -> jax.Array:
         jnp.asarray(indices, dtype=jnp.uint32))
 
 
-def _chunk_size(d2: int, c_par: int, nentries: int) -> int:
-    per_entry = d2 * c_par
-    cs = max(64, _CHUNK_BUDGET // max(per_entry, 1))
-    return min(cs, max(nentries, 1))
+def _chunk_size(nentries: int) -> int:
+    return min(_CHUNK_ENTRIES, max(nentries, 1))
 
 
 def search_bucket(query: PackedQuery, bucket: PackedBucket, *,
                   maxstart: int, lorder: bool, seed: int, query_tag: int,
-                  c_max: int = 128, gather_mode: str = "take",
+                  c_max: int = 128, gather_mode: str = "auto",
                   params: SAParams = DEFAULTS,
-                  device_arrays: dict | None = None
-                  ) -> tuple[np.ndarray, np.ndarray]:
-    """Search one packed bucket; returns (scores [N], bestmaps [N, n1])."""
+                  device_arrays: dict | None = None,
+                  sharding=None) -> tuple[np.ndarray, np.ndarray]:
+    """Search one packed bucket; returns (scores [N], bestmaps [N, n1]).
+
+    ``sharding``: an optional entry-axis jax.sharding.NamedSharding.
+    When given, the bucket (pre-padded to a multiple of the mesh size by
+    pack_database(pad_to=...)) runs SPMD across the mesh: inputs are
+    placed sharded, the query replicated, and XLA partitions the vmapped
+    entry axis with no collectives in the hot loop.
+    """
     n1, d2 = query.order, bucket.dim
     c_par, r_seq = choose_chains(maxstart, c_max)
-    fn = make_bucket_search(n1, d2, c_par, r_seq, lorder, gather_mode, params)
+    fn = make_bucket_search(n1, d2, c_par, r_seq, lorder,
+                            resolve_gather_mode(gather_mode), params)
 
-    qargs = (jnp.asarray(query.types), jnp.asarray(query.tabhi),
-             jnp.asarray(query.tablo), jnp.asarray(query.dmat))
+    qargs = tuple(jnp.asarray(x) for x in (query.types, query.tabhi,
+                                           query.tablo, query.dmat))
+    if sharding is not None:
+        from ..parallel.mesh import replicated
+
+        rep = replicated(sharding.mesh)
+        qargs = tuple(jax.device_put(x, rep) for x in qargs)
     if device_arrays is not None:
         types2, tabhi2, tablo2, dmat2 = (device_arrays["types"],
                                          device_arrays["tabhi"],
@@ -93,15 +115,23 @@ def search_bucket(query: PackedQuery, bucket: PackedBucket, *,
                                          device_arrays["dmat"])
         orders = device_arrays["orders"]
     else:
-        types2 = jnp.asarray(bucket.types)
-        tabhi2 = jnp.asarray(bucket.tabhi)
-        tablo2 = jnp.asarray(bucket.tablo)
-        dmat2 = jnp.asarray(bucket.dmat)
-        orders = jnp.asarray(bucket.orders)
+        def put(x):
+            x = jnp.asarray(x)
+            return jax.device_put(x, sharding) if sharding is not None else x
+
+        types2 = put(bucket.types)
+        tabhi2 = put(bucket.tabhi)
+        tablo2 = put(bucket.tablo)
+        dmat2 = put(bucket.dmat)
+        orders = put(bucket.orders)
     keys = entry_keys(seed, query_tag, bucket.index)
+    if sharding is not None:
+        keys = jax.device_put(keys, sharding)
 
     n = bucket.size
-    cs = _chunk_size(d2, c_par, n)
+    # sharded execution runs the whole bucket in one SPMD call (chunk
+    # slicing would break the even entry-axis partition)
+    cs = n if sharding is not None else _chunk_size(n)
     scores = np.empty((n,), np.int32)
     maps = np.empty((n, n1), np.int32)
     for start in range(0, n, cs):
@@ -127,9 +157,9 @@ def search_bucket(query: PackedQuery, bucket: PackedBucket, *,
 def search_db(query: PackedQuery, db: PackedDB, *,
               maxstart: int = DEFAULT_MAXSTART, lorder: bool = True,
               seed: int = DEFAULT_SEED, query_tag: int = 0,
-              c_max: int = 128, gather_mode: str = "take",
+              c_max: int = 128, gather_mode: str = "auto",
               params: SAParams = DEFAULTS,
-              device_db: dict | None = None) -> SearchResult:
+              device_db: dict | None = None, sharding=None) -> SearchResult:
     """Search the whole packed DB; results in database file order."""
     n1 = query.order
     scores = np.zeros((db.nentries,), np.int32)
@@ -139,9 +169,11 @@ def search_db(query: PackedQuery, db: PackedDB, *,
         s, m = search_bucket(query, bucket, maxstart=maxstart,
                              lorder=lorder, seed=seed, query_tag=query_tag,
                              c_max=c_max, gather_mode=gather_mode,
-                             params=params, device_arrays=darr)
-        scores[bucket.index] = s
-        maps[bucket.index] = m
+                             params=params, device_arrays=darr,
+                             sharding=sharding)
+        valid = bucket.index >= 0  # drop mesh-padding entries
+        scores[bucket.index[valid]] = s[valid]
+        maps[bucket.index[valid]] = m[valid]
     return SearchResult(scores=scores, ssemaps=maps, names=db.names,
                         orders=db.orders, query_order=n1, maxstart=maxstart)
 

@@ -6,7 +6,9 @@ Must set the environment before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, not setdefault: the outer environment pins JAX_PLATFORMS to the
+# real TPU backend, but tests must be hermetic on the virtual CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+import jax  # noqa: E402
+
+# The TPU-tunnel sitecustomize present on dev machines force-overrides
+# the jax_platforms *config* (env var alone is silently ignored), which
+# would route "CPU" tests through the remote TPU.  Override it back.
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_DIR = os.environ.get("SATABSEARCH_REFERENCE_DIR", "/root/reference")
 
