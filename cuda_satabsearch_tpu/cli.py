@@ -53,6 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="shard DB entries across all visible devices")
     ap.add_argument("--gather-mode", choices=("auto", "take", "onehot"),
                     default="auto")
+    ap.add_argument("--backend", choices=("auto", "pallas", "xla"),
+                    default="auto",
+                    help="SA kernel: hand-fused Pallas TPU kernel or the "
+                         "portable XLA engine (auto: pallas on TPU)")
     ap.add_argument("--compat-z", action="store_true",
                     help="reproduce reference int-truncated z-scores")
     ap.add_argument("--seed", type=int, default=1234)
@@ -86,7 +90,8 @@ def _run(argv=None) -> int:
     print(f"MAXDIM = {MAXDIM}", file=err)
     config = SessionConfig(maxstart=args.restarts, seed=args.seed,
                            gather_mode=args.gather_mode, c_max=args.cmax,
-                           use_mesh=args.mesh, compat_z=args.compat_z)
+                           use_mesh=args.mesh, compat_z=args.compat_z,
+                           backend=args.backend)
 
     if args.querydb is not None:
         # query-list mode (cudaSaTabsearch.cu:631-664): LTYPE/LORDER=T,

@@ -154,23 +154,46 @@ def search_bucket(query: PackedQuery, bucket: PackedBucket, *,
     return scores, maps
 
 
+def resolve_backend(backend: str, sharding=None) -> str:
+    """'auto' -> the Pallas kernel on TPU-like backends (hand-fused
+    VMEM-resident hot loop), the XLA engine on CPU and for mesh-sharded
+    execution (pallas under shard_map is future work)."""
+    if backend != "auto":
+        return backend
+    if sharding is not None or jax.default_backend() == "cpu":
+        return "xla"
+    return "pallas"
+
+
 def search_db(query: PackedQuery, db: PackedDB, *,
               maxstart: int = DEFAULT_MAXSTART, lorder: bool = True,
               seed: int = DEFAULT_SEED, query_tag: int = 0,
               c_max: int = 128, gather_mode: str = "auto",
               params: SAParams = DEFAULTS,
-              device_db: dict | None = None, sharding=None) -> SearchResult:
+              device_db: dict | None = None, sharding=None,
+              backend: str = "auto") -> SearchResult:
     """Search the whole packed DB; results in database file order."""
     n1 = query.order
     scores = np.zeros((db.nentries,), np.int32)
     maps = np.full((db.nentries, n1), -1, np.int32)
+    use = resolve_backend(backend, sharding)
     for bi, bucket in enumerate(db.buckets):
         darr = device_db.get(bi) if device_db is not None else None
-        s, m = search_bucket(query, bucket, maxstart=maxstart,
-                             lorder=lorder, seed=seed, query_tag=query_tag,
-                             c_max=c_max, gather_mode=gather_mode,
-                             params=params, device_arrays=darr,
-                             sharding=sharding)
+        if use == "pallas":
+            from .pallas_search import search_bucket_pallas
+
+            s, m = search_bucket_pallas(
+                query, bucket, maxstart=maxstart, lorder=lorder, seed=seed,
+                query_tag=query_tag, c_max=c_max, params=params,
+                device_arrays=darr.get("pallas") if darr else None)
+        else:
+            s, m = search_bucket(
+                query, bucket, maxstart=maxstart,
+                lorder=lorder, seed=seed, query_tag=query_tag,
+                c_max=c_max, gather_mode=gather_mode,
+                params=params,
+                device_arrays=darr.get("xla") if darr else None,
+                sharding=sharding)
         valid = bucket.index >= 0  # drop mesh-padding entries
         scores[bucket.index[valid]] = s[valid]
         maps[bucket.index[valid]] = m[valid]
@@ -178,15 +201,19 @@ def search_db(query: PackedQuery, db: PackedDB, *,
                         orders=db.orders, query_order=n1, maxstart=maxstart)
 
 
-def upload_db(db: PackedDB, device=None, sharding=None) -> dict:
+def upload_db(db: PackedDB, device=None, sharding=None,
+              backend: str = "auto") -> dict:
     """Pre-upload packed DB arrays to device(s) once (the analog of the
     reference's one-time cudaMemcpy3D of the whole DB,
-    cudaSaTabsearch.cu:924-963).  Returns {bucket_idx: arrays dict}.
+    cudaSaTabsearch.cu:924-963).
+    Returns {bucket_idx: {"xla": arrays, "pallas": arrays}} with only
+    the resolved backend's format materialized.
 
     If ``sharding`` is given (a callable bucket_size -> jax.sharding
     .Sharding or a fixed Sharding), arrays are placed with their entry
     axis sharded across the mesh.
     """
+    use = resolve_backend(backend, sharding)
     out = {}
     for bi, b in enumerate(db.buckets):
         def put(x):
@@ -197,7 +224,15 @@ def upload_db(db: PackedDB, device=None, sharding=None) -> dict:
                 return jax.device_put(jnp.asarray(x), device)
             return jnp.asarray(x)
 
-        out[bi] = {"types": put(b.types), "tabhi": put(b.tabhi),
-                   "tablo": put(b.tablo), "dmat": put(b.dmat),
-                   "orders": put(b.orders)}
+        entry = {}
+        if use == "pallas":
+            from .pallas_search import prepare_bucket_pallas
+
+            arrs = prepare_bucket_pallas(b)
+            entry["pallas"] = {k: put(v) for k, v in arrs.items()}
+        else:
+            entry["xla"] = {"types": put(b.types), "tabhi": put(b.tabhi),
+                            "tablo": put(b.tablo), "dmat": put(b.dmat),
+                            "orders": put(b.orders)}
+        out[bi] = entry
     return out

@@ -32,6 +32,7 @@ class SessionConfig:
     buckets: tuple = DEFAULT_BUCKETS
     maxdim: int = MAXDIM
     params: SAParams = DEFAULTS
+    backend: str = "auto"  # "pallas" | "xla" | "auto"
     use_mesh: bool = False  # shard the entry axis over all devices
     compat_z: bool = False  # reproduce the reference's int-truncated z
     devices: object = None  # optional explicit device list for the mesh
@@ -59,7 +60,8 @@ class SearchSession:
                                           pad_to=pad_to)
 
         t0 = time.perf_counter()
-        self.device_db = upload_db(self.db, sharding=self.sharding)
+        self.device_db = upload_db(self.db, sharding=self.sharding,
+                                   backend=self.config.backend)
         self.upload_ms = (time.perf_counter() - t0) * 1000.0
         self._query_tag = 0
 
@@ -85,7 +87,7 @@ class SearchSession:
                          lorder=lorder, seed=cfg.seed, query_tag=query_tag,
                          c_max=cfg.c_max, gather_mode=cfg.gather_mode,
                          params=cfg.params, device_db=self.device_db,
-                         sharding=self.sharding)
+                         sharding=self.sharding, backend=cfg.backend)
 
 
 def format_results(result: SearchResult, qn: int, *, lsoln: bool,

@@ -1,0 +1,139 @@
+"""Pallas kernel vs engine vs golden: bitwise lockstep parity.
+
+The kernel consumes a supplied uniforms block with the same slot
+schedule as the golden model and the engine, so on the same backend all
+three must produce identical scores and best maps.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from cuda_satabsearch_tpu.io.pack import pack_query  # noqa: E402
+from cuda_satabsearch_tpu.ops import golden  # noqa: E402
+from cuda_satabsearch_tpu.ops.engine import make_bucket_search  # noqa: E402
+from cuda_satabsearch_tpu.ops.pallas_sa import (  # noqa: E402
+    make_pallas_bucket_search, make_uniforms, pack_tab, prepare_query,
+    round8)
+from cuda_satabsearch_tpu.ops.search import entry_keys  # noqa: E402
+
+from conftest import random_entry  # noqa: E402
+
+USE_CUMSUM = False
+
+
+def _bucket_arrays(entries, d2):
+    from cuda_satabsearch_tpu.core.codes import TYPE_PAD
+    from cuda_satabsearch_tpu.io.pack import DMAT_PAD
+
+    E = len(entries)
+    types = np.full((E, d2), TYPE_PAD, np.int8)
+    tabhi = np.zeros((E, d2, d2), np.int8)
+    tablo = np.zeros((E, d2, d2), np.int8)
+    dmat = np.full((E, d2, d2), DMAT_PAD, np.float32)
+    orders = np.zeros((E,), np.int32)
+    for i, e in enumerate(entries):
+        o = e.order
+        types[i, :o] = e.types
+        tabhi[i, :o, :o] = e.tabhi
+        tablo[i, :o, :o] = e.tablo
+        dmat[i, :o, :o] = e.dmat
+        orders[i] = o
+    return types, tabhi, tablo, dmat, orders
+
+
+def _run_kernel(query, entries, d2, c_par, r_seq, lorder, keys):
+    E = len(entries)
+    n1 = query.order
+    n1r = round8(n1)
+    P = n1 + 3 * 100
+    types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+    qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
+    tab2p = np.zeros((E, d2, d2), np.float32)
+    for i in range(E):
+        tab2p[i] = pack_tab(tabhi[i], tablo[i])
+    uniforms = make_uniforms(keys, r_seq, P, c_par)
+    fn = make_pallas_bucket_search(E, n1, d2, c_par, r_seq, lorder,
+                                   interpret=True, use_cumsum=USE_CUMSUM)
+    scores, best = fn(jnp.asarray(orders), jnp.asarray(qtypes),
+                      jnp.asarray(qtypesv), jnp.asarray(qtabp),
+                      jnp.asarray(qdmat),
+                      jnp.asarray(types.astype(np.int32))[:, :, None],
+                      jnp.asarray(tab2p), jnp.asarray(dmat),
+                      uniforms)
+    return (np.asarray(scores)[:, 0, 0],
+            np.asarray(best)[:, :n1, 0], uniforms)
+
+
+def _run_engine(query, entries, d2, c_par, r_seq, lorder, keys):
+    types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+    fn = make_bucket_search(query.order, d2, c_par, r_seq, lorder, "take")
+    s, m = fn(jnp.asarray(query.types), jnp.asarray(query.tabhi),
+              jnp.asarray(query.tablo), jnp.asarray(query.dmat),
+              jnp.asarray(types), jnp.asarray(tabhi), jnp.asarray(tablo),
+              jnp.asarray(dmat), jnp.asarray(orders), keys)
+    return np.asarray(s), np.asarray(m)
+
+
+@pytest.mark.parametrize("lorder", [True, False])
+def test_kernel_matches_engine(lorder):
+    rng = np.random.default_rng(7)
+    entries = [random_entry(rng, n, f"e{n}") for n in (5, 9, 14, 16)]
+    query = pack_query(random_entry(rng, 7, "q"))
+    keys = entry_keys(1234, 0, np.arange(len(entries)))
+    c_par, r_seq, d2 = 16, 2, 16
+
+    ks, kb, _ = _run_kernel(query, entries, d2, c_par, r_seq, lorder, keys)
+    es, eb = _run_engine(query, entries, d2, c_par, r_seq, lorder, keys)
+    np.testing.assert_array_equal(ks, es)
+    np.testing.assert_array_equal(kb, eb)
+
+
+def test_kernel_matches_golden_chain():
+    """Check a few individual chains against the scalar golden model."""
+    rng = np.random.default_rng(3)
+    entries = [random_entry(rng, 11, "db0")]
+    query = pack_query(random_entry(rng, 6, "q"))
+    keys = entry_keys(99, 5, np.arange(1))
+    c_par, r_seq, d2 = 128, 2, 16
+    n1 = query.order
+    P = n1 + 3 * 100
+
+    ks, kb, uniforms = _run_kernel(query, entries, d2, c_par, r_seq, True,
+                                   keys)
+    u = np.asarray(uniforms)[0]  # [r_seq, P, C]
+
+    best = golden.MAXSCORE_INIT if hasattr(golden, "MAXSCORE_INIT") else -99999
+    best = -99999
+    for c in range(0, 128, 17):  # sample some chains
+        flat = np.concatenate([u[r, :, c] for r in range(r_seq)])
+        res = golden.sa_chain(query, entries[0], True, r_seq, flat)
+        best = max(best, res.maxscore)
+    # the kernel max over all chains is >= max over the sampled subset
+    assert ks[0] >= best
+
+    # full check: max over all 128 chains equals the kernel score
+    allmax = -99999
+    for c in range(128):
+        flat = np.concatenate([u[r, :, c] for r in range(r_seq)])
+        res = golden.sa_chain(query, entries[0], True, r_seq, flat)
+        allmax = max(allmax, res.maxscore)
+    assert ks[0] == allmax
+
+
+def test_kernel_cpar_masking():
+    """Chains >= c_par must not contribute to the result."""
+    rng = np.random.default_rng(11)
+    entries = [random_entry(rng, 10, "db0")]
+    query = pack_query(random_entry(rng, 5, "q"))
+    keys = entry_keys(7, 0, np.arange(1))
+
+    s8, _, u = _run_kernel(query, entries, 16, 8, 1, True, keys)
+    un = np.asarray(u)[0]
+    allmax = -99999
+    for c in range(8):
+        res = golden.sa_chain(query, entries[0], True, 1, un[0, :, c])
+        allmax = max(allmax, res.maxscore)
+    assert s8[0] == allmax
