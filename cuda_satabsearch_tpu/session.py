@@ -43,10 +43,6 @@ class SearchSession:
                  entries: list[TableauEntry] | None = None):
         self.config = config or SessionConfig()
         self.dbfile = dbfile
-        t0 = time.perf_counter()
-        if entries is None:
-            entries = read_database(dbfile, maxdim=self.config.maxdim)
-        self.load_ms = (time.perf_counter() - t0) * 1000.0
 
         self.sharding = None
         pad_to = 1
@@ -56,8 +52,26 @@ class SearchSession:
             mesh = make_mesh(self.config.devices)
             self.sharding = entry_sharding(mesh)
             pad_to = mesh.size
-        self.db: PackedDB = pack_database(entries, self.config.buckets,
-                                          pad_to=pad_to)
+
+        t0 = time.perf_counter()
+        self.db: PackedDB
+        if entries is not None:
+            self.db = pack_database(entries, self.config.buckets,
+                                    pad_to=pad_to)
+        else:
+            from .io import native
+
+            if native.available():
+                # C++ parse+pack (native/satab_io.cpp), ~10x the Python
+                # parser on large DBs
+                self.db = native.pack_database_file(
+                    dbfile, self.config.buckets,
+                    maxdim=self.config.maxdim, pad_to=pad_to)
+            else:
+                self.db = pack_database(
+                    read_database(dbfile, maxdim=self.config.maxdim),
+                    self.config.buckets, pad_to=pad_to)
+        self.load_ms = (time.perf_counter() - t0) * 1000.0
 
         t0 = time.perf_counter()
         self.device_db = upload_db(self.db, sharding=self.sharding,

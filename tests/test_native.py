@@ -1,0 +1,70 @@
+"""Native C++ data layer vs the pure-Python reference path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cuda_satabsearch_tpu.io import native
+from cuda_satabsearch_tpu.io.pack import pack_database
+from cuda_satabsearch_tpu.io.parser import read_database
+from cuda_satabsearch_tpu.stats.gumbel import score_stats
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+@pytest.mark.parametrize("dbname", ["tableauxdistmatrixdb.test.ascii",
+                                    "tableauxdistmatrixdb.test2.ascii",
+                                    "tableauxdistmatrixdb.small.ascii"])
+def test_native_pack_matches_python(dbname):
+    path = os.path.join(FIXTURES, dbname)
+    pdb = pack_database(read_database(path))
+    ndb = native.pack_database_file(path)
+    assert ndb.nentries == pdb.nentries
+    assert ndb.names == pdb.names
+    np.testing.assert_array_equal(ndb.orders, pdb.orders)
+    assert len(ndb.buckets) == len(pdb.buckets)
+    for nb, pb in zip(ndb.buckets, pdb.buckets):
+        assert nb.dim == pb.dim
+        assert nb.names == pb.names
+        np.testing.assert_array_equal(nb.tabhi, pb.tabhi)
+        np.testing.assert_array_equal(nb.tablo, pb.tablo)
+        np.testing.assert_array_equal(nb.types, pb.types)
+        np.testing.assert_array_equal(nb.dmat, pb.dmat)
+        np.testing.assert_array_equal(nb.orders, pb.orders)
+        np.testing.assert_array_equal(nb.index, pb.index)
+
+
+def test_native_pack_mesh_padding():
+    path = os.path.join(FIXTURES, "tableauxdistmatrixdb.small.ascii")
+    pdb = pack_database(read_database(path), pad_to=8)
+    ndb = native.pack_database_file(path, pad_to=8)
+    for nb, pb in zip(ndb.buckets, pdb.buckets):
+        assert nb.size == pb.size
+        np.testing.assert_array_equal(nb.index, pb.index)
+        np.testing.assert_array_equal(nb.orders, pb.orders)
+
+
+def test_native_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native.pack_database_file("/nonexistent/db.ascii")
+
+
+def test_native_score_stats_matches_python():
+    rng = np.random.default_rng(0)
+    scores = rng.integers(0, 60, 500).astype(np.int32)
+    orders = rng.integers(2, 100, 500).astype(np.int32)
+    from cuda_satabsearch_tpu.core.constants import GUMBEL_A, GUMBEL_B
+
+    for compat in (False, True):
+        n2p, zp, pp = score_stats(scores, 8, orders, compat=compat)
+        n2n, zn, pn = native.score_stats_native(scores, orders, 8,
+                                                GUMBEL_A, GUMBEL_B,
+                                                compat=compat)
+        np.testing.assert_allclose(n2n, n2p, rtol=1e-12)
+        np.testing.assert_allclose(zn, zp, rtol=1e-12)
+        # p-values near 0 amplify constant-rounding noise; atol covers it
+        np.testing.assert_allclose(pn, pp, rtol=1e-9, atol=1e-15)
