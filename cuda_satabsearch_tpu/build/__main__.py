@@ -1,0 +1,96 @@
+"""Tableau-construction CLI: PDB file(s) -> ASCII tableaux+distmatrix DB.
+
+The functional union of the reference's DB-construction entry points
+(scripts/buildtableauxdb.py, pytableaucreate.py, convdb2.py):
+
+  single file -> entry on stdout:
+      python -m cuda_satabsearch_tpu.build  file.pdb[.gz]
+  directory tree -> whole DB on stdout, size-sorted:
+      python -m cuda_satabsearch_tpu.build -o db.ascii -s  pdbdir/
+
+Flags mirror the reference (buildtableauxdb.py:230-280): -3 include
+3_10 helices, -5 include pi helices, -k HH/KK sheet codes, -m MINLEN
+minimum SSE length.  SSE assignment uses the PDB's own HELIX/SHEET
+records (the reference's ``-t pdb`` mode); DSSP/STRIDE integration can
+be added behind -t when those binaries are present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..io.writer import format_database, format_entry
+from .builder import build_from_file
+
+
+def iter_pdb_files(root: str):
+    exts = (".pdb", ".ent", ".pdb.gz", ".ent.gz")
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        for fn in sorted(filenames):
+            if fn.endswith(exts):
+                yield os.path.join(dirpath, fn)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tpusatabsearch-build",
+        description="Build tableau+distmatrix ASCII entries from PDB files")
+    ap.add_argument("paths", nargs="+",
+                    help="PDB/ASTRAL files or directories to walk")
+    ap.add_argument("-3", dest="incl_310", action="store_true",
+                    help="include 3_10 helices")
+    ap.add_argument("-5", dest="incl_pi", action="store_true",
+                    help="include pi helices")
+    ap.add_argument("-k", dest="use_hk", action="store_true",
+                    help="use HH/KK codes for same-sheet strands")
+    ap.add_argument("-m", dest="min_sse_len", type=int, default=None,
+                    help="minimum SSE length")
+    ap.add_argument("-s", dest="sort_size", action="store_true",
+                    help="sort output DB by size ascending (convdb2 -s; "
+                         "improves search load balance)")
+    ap.add_argument("-o", dest="output", default=None,
+                    help="output file (default stdout)")
+    ap.add_argument("--name", default=None,
+                    help="entry identifier (single-file mode)")
+    args = ap.parse_args(argv)
+
+    files = []
+    for p in args.paths:
+        if os.path.isdir(p):
+            files.extend(iter_pdb_files(p))
+        else:
+            files.append(p)
+
+    entries = []
+    for path in files:
+        try:
+            e = build_from_file(
+                path, name=args.name if len(files) == 1 else None,
+                include_310=args.incl_310, include_pi=args.incl_pi,
+                min_sse_len=args.min_sse_len, use_hk=args.use_hk)
+        except Exception as exc:  # keep walking the tree
+            print(f"ERROR: {path}: {exc}", file=sys.stderr)
+            continue
+        if e is None:
+            print(f"WARNING: no SSEs found in {path}", file=sys.stderr)
+            continue
+        entries.append(e)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        if len(entries) == 1 and not args.sort_size:
+            out.write(format_entry(entries[0]))
+        else:
+            out.write(format_database(entries, sort_by_size=args.sort_size))
+    finally:
+        if args.output:
+            out.close()
+    print(f"built {len(entries)} entries from {len(files)} files",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

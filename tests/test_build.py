@@ -1,0 +1,182 @@
+"""Structure-toolchain tests: synthetic PDB -> tableau construction.
+
+Validates the geometry pipeline (axis fits, interaxial angles,
+double-quadrant codes, midpoint distances) on structures with known
+geometry, and the end-to-end build CLI -> parser round trip.
+"""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cuda_satabsearch_tpu.build import geom
+from cuda_satabsearch_tpu.build.builder import build_entry
+from cuda_satabsearch_tpu.build.pdbfile import read_pdb
+from cuda_satabsearch_tpu.io.parser import parse_string
+from cuda_satabsearch_tpu.io.writer import format_entry
+
+
+def make_helix_coords(n, origin, axis, phase=0.0):
+    """Ideal alpha helix: r=2.3 A, rise 1.5 A/res, 100 deg/res."""
+    axis = np.asarray(axis, float)
+    axis = axis / np.linalg.norm(axis)
+    # orthonormal frame
+    ref = np.array([1.0, 0.0, 0.0])
+    if abs(axis @ ref) > 0.9:
+        ref = np.array([0.0, 1.0, 0.0])
+    u = np.cross(axis, ref)
+    u /= np.linalg.norm(u)
+    v = np.cross(axis, u)
+    t = np.arange(n) * np.deg2rad(100.0) + phase
+    pts = (np.asarray(origin, float)[None, :]
+           + 2.3 * (np.cos(t)[:, None] * u + np.sin(t)[:, None] * v)
+           + 1.5 * np.arange(n)[:, None] * axis)
+    return pts
+
+
+def make_strand_coords(n, origin, axis):
+    """Zigzag strand: 3.3 A rise, +-0.9 A pleat."""
+    axis = np.asarray(axis, float)
+    axis = axis / np.linalg.norm(axis)
+    ref = np.array([0.0, 0.0, 1.0])
+    if abs(axis @ ref) > 0.9:
+        ref = np.array([0.0, 1.0, 0.0])
+    u = np.cross(axis, ref)
+    u /= np.linalg.norm(u)
+    pleat = 0.9 * ((np.arange(n) % 2) * 2 - 1)
+    return (np.asarray(origin, float)[None, :]
+            + 3.3 * np.arange(n)[:, None] * axis + pleat[:, None] * u)
+
+
+def test_helix_axis_recovery():
+    for axis in ([0, 0, 1], [1, 1, 0], [0.3, -1, 2]):
+        ca = make_helix_coords(12, [5, 5, 5], axis)
+        d, c = geom.fit_axis_helix(ca)
+        a = np.asarray(axis, float)
+        a /= np.linalg.norm(a)
+        assert abs(float(d @ a)) > 0.999
+        assert float(d @ a) > 0  # oriented N->C
+
+
+def test_strand_axis_recovery():
+    ca = make_strand_coords(6, [0, 0, 0], [0, 1, 0])
+    d, c = geom.fit_axis_strand(ca)
+    assert abs(d[1]) > 0.999 and d[1] > 0
+
+
+def test_relative_angle_parallel_antiparallel():
+    # slightly tilted: exactly parallel axes have no unique mutual
+    # perpendicular (the reference yields None/'??' there too)
+    h1 = geom.fit_axis_helix(make_helix_coords(12, [0, 0, 0], [0, 0, 1]))
+    h2 = geom.fit_axis_helix(
+        make_helix_coords(12, [10, 0, 0], [0.3, 0, 1]))
+    h3 = geom.fit_axis_helix(
+        make_helix_coords(12, [0, 10, 0], [0.3, 0, -1]))
+    om12 = geom.relative_angle(h1, h2)
+    om13 = geom.relative_angle(h1, h3)
+    assert abs(om12) < np.pi / 4  # parallel quadrant
+    assert abs(om13) > 3 * np.pi / 4  # antiparallel quadrant
+    assert geom.angle_to_tabcode(om12)[0] == "P"
+    assert geom.angle_to_tabcode(om13)[0] == "O"
+
+
+def test_angle_to_tabcode_quadrants():
+    pi = np.pi
+    assert geom.angle_to_tabcode(0.0) == "PE"
+    assert geom.angle_to_tabcode(pi / 8) == "PD"
+    assert geom.angle_to_tabcode(pi / 2) == "RD"
+    assert geom.angle_to_tabcode(-pi / 2 + 0.01) == "LE"
+    assert geom.angle_to_tabcode(pi) == "OT"
+    assert geom.angle_to_tabcode(-3.0) == "OS"
+    with pytest.raises(ValueError):
+        geom.angle_to_tabcode(4.0)
+
+
+def _pdb_line(serial, resseq, chain, xyz, resname="ALA"):
+    return (f"ATOM  {serial:>5d}  CA  {resname} {chain}{resseq:>4d}    "
+            f"{xyz[0]:8.3f}{xyz[1]:8.3f}{xyz[2]:8.3f}  1.00  0.00"
+            f"           C  \n")
+
+
+def make_synthetic_pdb() -> str:
+    """Two parallel helices + an antiparallel helix + a strand."""
+    lines = []
+    lines.append("HEADER    SYNTHETIC                               01-JAN-00"
+                 "   1XYZ              \n")
+    lines.append("HELIX    1   1 ALA A    1  ALA A   12  1"
+                 "                                  12    \n")
+    lines.append("HELIX    2   2 ALA A   20  ALA A   31  1"
+                 "                                  12    \n")
+    lines.append("HELIX    3   3 ALA A   40  ALA A   51  1"
+                 "                                  12    \n")
+    lines.append("SHEET    1   A 1 ALA A  60  ALA A  65  0"
+                 "                                        \n")
+    serial = 1
+    coords = []
+    h1 = make_helix_coords(12, [0, 0, 0], [0, 0, 1])
+    h2 = make_helix_coords(12, [10, 0, 0], [0.3, 0, 1])
+    h3 = make_helix_coords(12, [0, 12, 0], [0.3, 0, -1])
+    st = make_strand_coords(6, [20, 20, 0], [1, 0, 0])
+    for start, pts in ((1, h1), (20, h2), (40, h3), (60, st)):
+        for i, p in enumerate(pts):
+            coords.append(_pdb_line(serial, start + i, "A", p))
+            serial += 1
+    lines.extend(coords)
+    lines.append("END\n")
+    return "".join(lines)
+
+
+def test_build_entry_synthetic(tmp_path):
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    struct = read_pdb(str(pdb_path))
+    assert len(struct.helices) == 3
+    assert len(struct.strands) == 1
+    e = build_entry(struct, name="synth1")
+    assert e is not None
+    assert e.order == 4
+    # types: 3 alpha helices then strand (sequence order)
+    np.testing.assert_array_equal(e.types, [1, 1, 1, 0])
+    # helix1 vs helix2 parallel; helix1 vs helix3 antiparallel
+    from cuda_satabsearch_tpu.core.codes import TAB_HI_INV
+
+    assert TAB_HI_INV[int(e.tabhi[0, 1])] == "P"
+    assert TAB_HI_INV[int(e.tabhi[0, 2])] == "O"
+    # distances are axis-centroid distances (helix centroids shift with
+    # the 0.3 tilt: h2 ~(12.4, 0, 8.2), h3 ~(2.4, 10, -7.9) vs h1 ~z*8.2)
+    assert 10.0 < e.dmat[0, 1] < 14.0
+    assert 17.0 < e.dmat[0, 2] < 22.0
+    # diagonal carries type
+    assert e.dmat[3, 3] == 0.0 and e.dmat[0, 0] == 1.0
+
+    # ASCII round trip through writer + parser
+    text = format_entry(e)
+    e2 = parse_string(text)
+    np.testing.assert_array_equal(e2.tabhi, e.tabhi)
+    np.testing.assert_array_equal(e2.types, e.types)
+    np.testing.assert_allclose(e2.dmat, e.dmat, atol=5e-4)
+
+
+def test_build_cli_roundtrip(tmp_path):
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    out = subprocess.run(
+        [sys.executable, "-m", "cuda_satabsearch_tpu.build",
+         str(pdb_path), "--name", "synth1"],
+        capture_output=True, text=True, check=True,
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ".",
+             "JAX_PLATFORMS": "cpu"}, cwd=".")
+    e = parse_string(out.stdout)
+    assert e.name == "synth1"
+    assert e.order == 4
+
+
+def test_min_sse_len_filter(tmp_path):
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    struct = read_pdb(str(pdb_path))
+    e = build_entry(struct, name="x", min_sse_len=8)
+    assert e.order == 3  # the 6-residue strand is dropped
