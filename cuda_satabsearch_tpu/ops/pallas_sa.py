@@ -67,7 +67,10 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
                               r_seq: int, lorder: bool,
                               params: SAParams = DEFAULTS,
                               interpret: bool = False,
-                              use_cumsum: bool = False):
+                              use_cumsum: bool = False,
+                              _ablate: str = ""):
+    # _ablate: internal perf-bisection switch ('nodot', 'nogather',
+    # 'noexp', 'noiter'); produces WRONG results, timing use only.
     """Build the pallas_call for an E-entry bucket chunk.
 
     Returns fn(n2_i32[E], qtypes_i32[n1r], qtypesv_f32[n1r,1],
@@ -106,6 +109,8 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
         j == -1 yields an all-zero column (use sites mask on j >= 0).
         """
         oh = (_iota2() == j).astype(F32)  # [d2, C]
+        if _ablate == "nodot":
+            return oh * 2.0
         return jnp.dot(table, oh, preferred_element_type=F32)
 
     def gather_map(rows, smap_ref):
@@ -122,6 +127,8 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
             return y + jnp.where(_iota1() == k, srow, 0.0)
 
         y0 = jnp.zeros((n1r, C), F32)
+        if _ablate == "nogather":
+            return y0 + rows[0:1, :]
         return lax.fori_loop(0, n1, body, y0, unroll=min(n1, 8))
 
     def prefix_sum(x):
@@ -299,7 +306,10 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
             bestmap[...] = jnp.where(improved, moved, bestmap[...])
 
             # ---- Metropolis acceptance (kernel.cu:1166-1187)
-            accept = jnp.exp(delta / temp) > u_acc  # [1, C]
+            if _ablate == "noexp":
+                accept = delta / temp > u_acc
+            else:
+                accept = jnp.exp(delta / temp) > u_acc  # [1, C]
             score[...] = jnp.where(accept, newscore, score[...])
             ssemap[...] = jnp.where(m1 & accept, newj, smap_v)
             rmap_new = jnp.where((_iota2() == oldj) & accept & (oldj >= 0),
@@ -308,7 +318,8 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                     ssei, rmap_new)
             return temp * p.alpha
 
-        lax.fori_loop(0, maxiter, iter_body, jnp.full((), p.temp0, F32))
+        lax.fori_loop(0, 1 if _ablate == "noiter" else maxiter, iter_body,
+                      jnp.full((), p.temp0, F32))
 
         # ---- final reduction over chains (kernel.cu:1194-1233):
         # first maximal active lane wins, like the reference's serial scan
@@ -393,19 +404,30 @@ def prepare_query(query, n1r: int):
     return (qtypes, qtypes.astype(np.float32)[:, None], qtabp, qdmat)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_uniforms_jit(r_seq: int, P: int, c_par: int):
+    def gen(keys):
+        def per_entry(key):
+            def per_restart(r):
+                u = jax.random.uniform(jax.random.fold_in(key, r),
+                                       (P, c_par), dtype=jnp.float32)
+                if c_par < C_LANES:
+                    u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
+                return u
+            return jax.vmap(per_restart)(jnp.arange(r_seq, dtype=jnp.uint32))
+
+        return jax.vmap(per_entry)(keys)
+
+    return jax.jit(gen)
+
+
 def make_uniforms(keys, r_seq: int, P: int, c_par: int = C_LANES):
     """uniforms[e, r, :, :c_par] = uniform(fold_in(keys[e], r),
     (P, c_par)) — exactly the engine's per-restart stream
     (ops/engine.py restart_body), so kernel, engine, and golden model
     consume identical randomness for any chain count.  Lanes beyond
-    c_par are zero-padded; the kernel masks those chains out."""
-    def per_entry(key):
-        def per_restart(r):
-            u = jax.random.uniform(jax.random.fold_in(key, r), (P, c_par),
-                                   dtype=jnp.float32)
-            if c_par < C_LANES:
-                u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
-            return u
-        return jax.vmap(per_restart)(jnp.arange(r_seq, dtype=jnp.uint32))
+    c_par are zero-padded; the kernel masks those chains out.
 
-    return jax.vmap(per_entry)(keys)
+    jitted and cached per shape: an eager nested vmap would RETRACE on
+    every call (~100 ms of pure Python per search chunk)."""
+    return _make_uniforms_jit(r_seq, P, c_par)(keys)

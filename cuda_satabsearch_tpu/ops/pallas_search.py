@@ -1,12 +1,18 @@
 """Search-layer driver for the Pallas SA kernel.
 
 Mirrors ops/search.py's bucket orchestration but routes through the
-hand-fused TPU kernel (ops/pallas_sa.py).  Selected by
-``backend="pallas"`` in the high-level API; the XLA engine remains the
-fallback (CPU golden-adjacent path and mesh-sharded execution).
+hand-fused TPU kernel (ops/pallas_sa.py).  Per chunk, RNG key
+derivation, threefry uniform generation, and the kernel run as ONE
+jitted computation — a single device dispatch per chunk per query
+(dispatch and retrace overhead through the TPU tunnel otherwise dwarfs
+the kernel itself: the kernel is ~30 us/entry, an eager vmap retrace is
+~100 ms).  Bucket arrays are pre-sliced into padded chunks at upload
+time, the analog of the reference's one-time pitched-copy layout.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -14,31 +20,86 @@ import numpy as np
 
 from ..core.constants import SAParams, DEFAULTS
 from ..io.pack import PackedBucket, PackedQuery
-from .pallas_sa import (C_LANES, make_pallas_bucket_search, make_uniforms,
-                        pack_tab, prepare_query, round8)
-from .search import choose_chains, entry_keys
+from .pallas_sa import (C_LANES, make_pallas_bucket_search, pack_tab,
+                        prepare_query, round8)
+from .search import choose_chains
 
 # Entries per pallas_call: the kernel compiles per (E, n1, d2) triple;
 # chunk-padding to a fixed E keeps that to one compile per bucket shape.
 CHUNK_ENTRIES = 128
 
 
-def prepare_bucket_pallas(bucket: PackedBucket, device=None) -> dict:
-    """Precompute (and optionally upload) kernel-format bucket arrays."""
-    E, d2 = bucket.size, bucket.dim
-    tab2p = pack_tab(bucket.tabhi, bucket.tablo)
-    arrs = {
-        "n2": bucket.orders.astype(np.int32),
-        "types2": bucket.types.astype(np.int32)[:, :, None],
-        "tab2p": tab2p,
-        "dmat2": bucket.dmat.astype(np.float32),
-    }
-    if device is not None:
-        arrs = {k: jax.device_put(jnp.asarray(v), device)
-                for k, v in arrs.items()}
-    else:
-        arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
-    return arrs
+@functools.lru_cache(maxsize=None)
+def _make_chunk_fn(E: int, n1: int, d2: int, c_par: int, r_seq: int,
+                   lorder: bool, params: SAParams, interpret: bool):
+    """One-dispatch chunk computation: keys -> uniforms -> kernel."""
+    kern = make_pallas_bucket_search(E, n1, d2, c_par, r_seq, lorder,
+                                     params, interpret)
+    P = n1 + 3 * params.maxiter
+
+    def f(seed, tag, indices, n2, qt, qtv, qtabp, qdmat, types2, tab2p,
+          dmat2):
+        base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(indices)
+
+        def per_entry(key):
+            def per_restart(r):
+                u = jax.random.uniform(jax.random.fold_in(key, r),
+                                       (P, c_par), dtype=jnp.float32)
+                if c_par < C_LANES:
+                    u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
+                return u
+            return jax.vmap(per_restart)(jnp.arange(r_seq,
+                                                    dtype=jnp.uint32))
+
+        uniforms = jax.vmap(per_entry)(keys)
+        return kern(n2, qt, qtv, qtabp, qdmat, types2, tab2p, dmat2,
+                    uniforms)
+
+    return jax.jit(f)
+
+
+def _chunk_plan(n: int, cs: int):
+    """[(start, end, padded_idx_or_None)] covering n entries."""
+    plan = []
+    for start in range(0, n, cs):
+        end = min(start + cs, n)
+        if end - start < cs and n > cs:
+            idx = np.concatenate([np.arange(start, end),
+                                  np.zeros(cs - (end - start), np.int64)])
+            plan.append((start, end, idx))
+        else:
+            plan.append((start, end, None))
+    return plan
+
+
+def prepare_bucket_pallas(bucket: PackedBucket, device=None,
+                          chunk_entries: int = CHUNK_ENTRIES) -> dict:
+    """Kernel-format bucket arrays pre-sliced into padded chunks."""
+    n = bucket.size
+    cs = min(chunk_entries, max(n, 1))
+    tab2p_full = pack_tab(bucket.tabhi, bucket.tablo)
+    types_full = bucket.types.astype(np.int32)[:, :, None]
+    dmat_full = bucket.dmat.astype(np.float32)
+    orders_full = bucket.orders.astype(np.int32)
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, device) if device is not None else x
+
+    chunks = []
+    for start, end, idx in _chunk_plan(n, cs):
+        sl = idx if idx is not None else slice(start, end)
+        chunks.append({
+            "start": start, "end": end,
+            "size": cs if idx is not None else end - start,
+            "indices": put((bucket.index[sl]).astype(np.uint32)),
+            "n2": put(orders_full[sl]),
+            "types2": put(types_full[sl]),
+            "tab2p": put(tab2p_full[sl]),
+            "dmat2": put(dmat_full[sl]),
+        })
+    return {"chunks": chunks, "cs": cs}
 
 
 def search_bucket_pallas(query: PackedQuery, bucket: PackedBucket, *,
@@ -55,35 +116,24 @@ def search_bucket_pallas(query: PackedQuery, bucket: PackedBucket, *,
     n1, d2 = query.order, bucket.dim
     n1r = round8(n1)
     c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
-    P = n1 + 3 * params.maxiter
 
     qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
     qargs = (jnp.asarray(qtypes), jnp.asarray(qtypesv),
              jnp.asarray(qtabp), jnp.asarray(qdmat))
     darr = device_arrays or prepare_bucket_pallas(bucket)
-    keys = entry_keys(seed, query_tag, bucket.index)
 
     n = bucket.size
-    cs = min(CHUNK_ENTRIES, max(n, 1))
     scores = np.empty((n,), np.int32)
     maps = np.empty((n, n1), np.int32)
-    fn = make_pallas_bucket_search(cs, n1, d2, c_par, r_seq, lorder,
-                                   params, interpret)
-    for start in range(0, n, cs):
-        end = min(start + cs, n)
-        if end - start < cs and n > cs:
-            idx = np.concatenate([np.arange(start, end),
-                                  np.zeros(cs - (end - start), np.int64)])
-        else:
-            idx = np.arange(start, start + cs) if end - start == cs \
-                else np.arange(start, end)
-        if len(idx) < cs:  # whole bucket smaller than one chunk
-            fn = make_pallas_bucket_search(len(idx), n1, d2, c_par, r_seq,
-                                           lorder, params, interpret)
-        uniforms = make_uniforms(keys[idx], r_seq, P, c_par)
-        s, m = fn(darr["n2"][idx], *qargs, darr["types2"][idx],
-                  darr["tab2p"][idx], darr["dmat2"][idx], uniforms)
-        k = end - start
-        scores[start:end] = np.asarray(s)[:k, 0, 0]
-        maps[start:end] = np.asarray(m)[:k, :n1, 0]
+    results = []
+    for ch in darr["chunks"]:
+        fn = _make_chunk_fn(ch["size"], n1, d2, c_par, r_seq, lorder,
+                            params, interpret)
+        results.append((ch, fn(seed, query_tag, ch["indices"], ch["n2"],
+                               *qargs, ch["types2"], ch["tab2p"],
+                               ch["dmat2"])))
+    for ch, (s, m) in results:  # drain after all dispatches are in flight
+        k = ch["end"] - ch["start"]
+        scores[ch["start"]:ch["end"]] = np.asarray(s)[:k, 0, 0]
+        maps[ch["start"]:ch["end"]] = np.asarray(m)[:k, :n1, 0]
     return scores, maps

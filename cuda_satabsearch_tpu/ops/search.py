@@ -10,6 +10,7 @@ and sharding).
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -69,13 +70,22 @@ def choose_chains(maxstart: int, c_max: int = 128) -> tuple[int, int]:
     return 1, maxstart
 
 
+@functools.lru_cache(maxsize=None)
+def _entry_keys_jit():
+    def gen(seed, query_tag, indices):
+        base = jax.random.fold_in(jax.random.PRNGKey(seed), query_tag)
+        return jax.vmap(lambda i: jax.random.fold_in(base, i))(indices)
+
+    return jax.jit(gen)
+
+
 def entry_keys(seed: int, query_tag: int, indices: np.ndarray) -> jax.Array:
     """Per-entry RNG keys: fold the query tag then the entry's file-order
     index into the base seed (counter-based replacement for the
-    reference's 16384 CURAND states, cudaSaTabsearch.cu:258-264)."""
-    base = jax.random.fold_in(jax.random.PRNGKey(seed), query_tag)
-    return jax.vmap(lambda i: jax.random.fold_in(base, i))(
-        jnp.asarray(indices, dtype=jnp.uint32))
+    reference's 16384 CURAND states, cudaSaTabsearch.cu:258-264).
+    jitted (an eager vmap retraces per call)."""
+    return _entry_keys_jit()(seed, query_tag,
+                             jnp.asarray(indices, dtype=jnp.uint32))
 
 
 def _chunk_size(nentries: int) -> int:

@@ -88,3 +88,15 @@ def test_fit_gumbel_recovers_params():
     a, b = fit_gumbel(samples)
     assert abs(a - a_true) < 0.01
     assert abs(b - b_true) < 0.01
+
+
+def test_norms():
+    from cuda_satabsearch_tpu.stats.norms import (empirical_zscores, norm1,
+                                                  norm2, norm3)
+
+    assert norm1(10, 4, 8) == 2.5
+    assert norm2(10, 4, 8) == 10 / 6.0
+    assert norm3(10, 4, 8) == 2.5
+    assert norm3(10, 1, 8) == 0.0  # 7/8 > 0.75 size difference
+    z = empirical_zscores([1.0, 2.0, 3.0])
+    assert abs(z[1]) < 1e-12 and z[2] > 0
