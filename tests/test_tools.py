@@ -48,3 +48,48 @@ def test_remap_permutation():
 def test_remap_subset():
     sse_ids = [3, 5, 8]
     assert remap_subset([(1, 2), (3, 4)], sse_ids) == [(3, 2), (8, 4)]
+
+
+def test_kabsch_recovers_transform():
+    import numpy as np
+
+    from cuda_satabsearch_tpu.tools.superimpose import (kabsch,
+                                                        transform_pdb_text)
+
+    rng = np.random.default_rng(5)
+    P = rng.random((10, 3)) * 20
+    # known rotation (about z by 30 deg) + translation
+    th = np.deg2rad(30)
+    R_true = np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0],
+                       [0, 0, 1.0]])
+    t_true = np.array([1.0, -2.0, 3.0])
+    Q = (R_true @ P.T).T + t_true
+    R, t, rmsd = kabsch(P, Q)
+    assert rmsd < 1e-9
+    np.testing.assert_allclose(R, R_true, atol=1e-9)
+    np.testing.assert_allclose(t, t_true, atol=1e-9)
+
+    line = ("ATOM      1  CA  ALA A   1    "
+            f"{P[0,0]:8.3f}{P[0,1]:8.3f}{P[0,2]:8.3f}  1.00  0.00\n")
+    moved = transform_pdb_text(line, R, t)
+    got = np.array([float(moved[30:38]), float(moved[38:46]),
+                    float(moved[46:54])])
+    np.testing.assert_allclose(got, Q[0], atol=2e-3)
+
+
+def test_superimpose_ssemap_pairs():
+    import numpy as np
+
+    from cuda_satabsearch_tpu.tools.superimpose import superimpose_ssemap
+
+    class FakeSSE:
+        def __init__(self, ca):
+            self.ca = np.asarray(ca, float)
+
+    qs = [FakeSSE([[i, 0, 0], [i, 1, 0], [i, 2, 0]]) for i in range(4)]
+    # hit = query translated by (5, 5, 5)
+    hs = [FakeSSE(s.ca + 5.0) for s in qs]
+    R, t, rmsd = superimpose_ssemap(qs, hs, [(1, 1), (2, 2), (3, 3), (4, 4)])
+    assert rmsd < 1e-9
+    np.testing.assert_allclose(t, [-5, -5, -5], atol=1e-9)
