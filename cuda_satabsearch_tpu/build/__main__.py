@@ -54,7 +54,17 @@ def main(argv=None) -> int:
                     help="output file (default stdout)")
     ap.add_argument("--name", default=None,
                     help="entry identifier (single-file mode)")
+    ap.add_argument("--sse-ids", default=None,
+                    help="comma-separated 1-based SSE ids to restrict the "
+                         "tableau to (pytableaucreate -s substructure mode)")
+    ap.add_argument("-u", dest="permute", action="store_true",
+                    help="randomly permute SSE order (pytableaucreate -u); "
+                         "the permutation is printed to stderr for "
+                         "remapping with tools.remap_permutation")
+    ap.add_argument("--permute-seed", type=int, default=0)
     args = ap.parse_args(argv)
+    sse_id_list = ([int(x) for x in args.sse_ids.split(",")]
+                   if args.sse_ids else None)
 
     files = []
     for p in args.paths:
@@ -66,10 +76,26 @@ def main(argv=None) -> int:
     entries = []
     for path in files:
         try:
+            perm = None
+            if args.permute:
+                import numpy as _np
+
+                probe = build_from_file(
+                    path, include_310=args.incl_310,
+                    include_pi=args.incl_pi,
+                    min_sse_len=args.min_sse_len)
+                if probe is not None:
+                    n = (len(sse_id_list) if sse_id_list else probe.order)
+                    rng = _np.random.default_rng(args.permute_seed)
+                    perm = list(rng.permutation(n))
+                    print(f"permutation {path}: "
+                          + ",".join(str(p + 1) for p in perm),
+                          file=sys.stderr)
             e = build_from_file(
                 path, name=args.name if len(files) == 1 else None,
                 include_310=args.incl_310, include_pi=args.incl_pi,
-                min_sse_len=args.min_sse_len, use_hk=args.use_hk)
+                min_sse_len=args.min_sse_len, use_hk=args.use_hk,
+                sse_id_list=sse_id_list, permutation=perm)
         except Exception as exc:  # keep walking the tree
             print(f"ERROR: {path}: {exc}", file=sys.stderr)
             continue
