@@ -62,6 +62,11 @@ def main(argv=None) -> int:
                          "the permutation is printed to stderr for "
                          "remapping with tools.remap_permutation")
     ap.add_argument("--permute-seed", type=int, default=0)
+    ap.add_argument("-t", dest="secstruct", default="pdb",
+                    choices=("pdb", "dssp", "stride"),
+                    help="SSE assignment source (buildtableauxdb -t): "
+                         "'pdb' uses HELIX/SHEET records; dssp/stride "
+                         "run the external binary")
     args = ap.parse_args(argv)
     sse_id_list = ([int(x) for x in args.sse_ids.split(",")]
                    if args.sse_ids else None)
@@ -91,11 +96,23 @@ def main(argv=None) -> int:
                     print(f"permutation {path}: "
                           + ",".join(str(p + 1) for p in perm),
                           file=sys.stderr)
-            e = build_from_file(
-                path, name=args.name if len(files) == 1 else None,
-                include_310=args.incl_310, include_pi=args.incl_pi,
-                min_sse_len=args.min_sse_len, use_hk=args.use_hk,
-                sse_id_list=sse_id_list, permutation=perm)
+            if args.secstruct != "pdb":
+                from .builder import build_entry
+                from .secstruct import read_pdb_with_secstruct
+
+                struct = read_pdb_with_secstruct(path, args.secstruct)
+                e = build_entry(
+                    struct,
+                    name=args.name if len(files) == 1 else None,
+                    include_310=args.incl_310, include_pi=args.incl_pi,
+                    min_sse_len=args.min_sse_len, use_hk=args.use_hk,
+                    sse_id_list=sse_id_list, permutation=perm)
+            else:
+                e = build_from_file(
+                    path, name=args.name if len(files) == 1 else None,
+                    include_310=args.incl_310, include_pi=args.incl_pi,
+                    min_sse_len=args.min_sse_len, use_hk=args.use_hk,
+                    sse_id_list=sse_id_list, permutation=perm)
         except Exception as exc:  # keep walking the tree
             print(f"ERROR: {path}: {exc}", file=sys.stderr)
             continue

@@ -68,7 +68,15 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
                               params: SAParams = DEFAULTS,
                               interpret: bool = False,
                               use_cumsum: bool = False,
+                              rng_mode: str = "supplied",
                               _ablate: str = ""):
+    # rng_mode: "supplied" consumes a precomputed uniforms input
+    # (bitwise-testable against golden/engine); "pltpu" generates the
+    # same slot-scheduled block in-kernel with the TPU hardware PRNG
+    # (pltpu.prng_*) seeded per (seed, query, entry, restart) — no HBM
+    # uniforms stream, much smaller XLA graph, different (but equally
+    # valid) stream: the reference's own CPU/GPU paths differ the same
+    # way (README_example_usage.txt:43-49 vs :92-98).
     # _ablate: internal perf-bisection switch ('nodot', 'nogather',
     # 'noexp', 'noiter'); produces WRONG results, timing use only.
     """Build the pallas_call for an E-entry bucket chunk.
@@ -154,12 +162,29 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
         le = dlo == qlo
         return jnp.where(he & le, 2.0, jnp.where(he | le, 1.0, -2.0))
 
+    Ppad = round8(P)
+
     def kernel(n2_ref, qtypes_ref, qtypesv_ref, qtabp_ref, qdmat_ref,
                types2_ref, tab2p_ref, dmat2_ref, uniforms_ref,
                outscore_ref, outbest_ref,
-               ssemap, revmap, score, maxscore, bestmap):
+               ssemap, revmap, score, maxscore, bestmap, uni):
+        e = pl.program_id(0)
         r = pl.program_id(1)
-        n2 = n2_ref[pl.program_id(0)]
+        n2 = n2_ref[e]
+
+        if rng_mode == "pltpu":
+            # uniforms_ref here is (seed, tag, indices) packed in SMEM
+            pltpu.prng_seed(uniforms_ref[0], uniforms_ref[1],
+                            uniforms_ref[2 + e], r)
+            bits = pltpu.prng_random_bits((Ppad, C))
+            uni[...] = (jax.lax.shift_right_logical(
+                pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8))
+                .astype(F32) * F32(2.0 ** -24))
+
+        def read_u(lo, size):
+            if rng_mode == "pltpu":
+                return uni[pl.ds(lo, size), :]
+            return uniforms_ref[0, 0, pl.ds(lo, size), :]
         types2 = types2_ref[0]  # [d2, 1]
         qtabp = qtabp_ref[...]
         qdmat = qdmat_ref[...]
@@ -178,7 +203,7 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
         def thinit_body(i, carry):
             j, stopped = carry  # stopped: int32 0/1 (Mosaic scf.for
             # cannot carry i1 vectors)
-            u_i = uniforms_ref[0, 0, pl.ds(i, 1), :]  # [1, C]
+            u_i = read_u(i, 1)  # [1, C]
             t1 = qtypes_ref[i]
             attempt = (u_i < p.init_matchprob) & (stopped == 0)
             cmask = (_iota2() >= j) & (types2 == t1) & (_iota2() < n2)
@@ -226,7 +251,7 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
         def iter_body(it, temp):
             smap_v = ssemap[...]
             rmap_v = revmap[...]
-            u3 = uniforms_ref[0, 0, pl.ds(n1 + 3 * it, 3), :]  # [3, C]
+            u3 = read_u(n1 + 3 * it, 3)  # [3, C]
             u_move = u3[0:1, :]
             u_cand = u3[1:2, :]
             u_acc = u3[2:3, :]
@@ -356,9 +381,15 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
                      memory_space=pltpu.VMEM),  # tab2p
         pl.BlockSpec((1, d2, d2), lambda e, r: (e, 0, 0),
                      memory_space=pltpu.VMEM),  # dmat2
-        pl.BlockSpec((1, 1, P, C), lambda e, r: (e, r, 0, 0),
-                     memory_space=pltpu.VMEM),  # uniforms
     ]
+    if rng_mode == "pltpu":
+        # (seed, tag, indices[E]) packed into one SMEM vector
+        in_specs.append(pl.BlockSpec((2 + E,), lambda e, r: (0,),
+                                     memory_space=pltpu.SMEM))
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, P, C),
+                                     lambda e, r: (e, r, 0, 0),
+                                     memory_space=pltpu.VMEM))  # uniforms
     out_specs = (
         pl.BlockSpec((1, 1, C), lambda e, r: (e, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -371,6 +402,7 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
         pltpu.VMEM((1, C), jnp.int32),  # score
         pltpu.VMEM((1, C), jnp.int32),  # maxscore
         pltpu.VMEM((n1r, C), jnp.int32),  # bestmap
+        pltpu.VMEM((Ppad, C), jnp.float32),  # uni (pltpu rng mode)
     ]
     return pl.pallas_call(
         kernel,

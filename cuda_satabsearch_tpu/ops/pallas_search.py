@@ -31,14 +31,29 @@ CHUNK_ENTRIES = 128
 
 @functools.lru_cache(maxsize=None)
 def _make_chunk_fn(E: int, n1: int, d2: int, c_par: int, r_seq: int,
-                   lorder: bool, params: SAParams, interpret: bool):
-    """One-dispatch chunk computation: keys -> uniforms -> kernel."""
+                   lorder: bool, params: SAParams, interpret: bool,
+                   rng_mode: str):
+    """One-dispatch chunk computation: RNG + kernel in a single jit.
+
+    rng_mode "pltpu": the kernel generates its uniforms with the TPU
+    hardware PRNG — nothing but the (seed, tag, indices) scalars cross
+    the boundary.  "supplied": threefry uniforms are generated on
+    device with the engine's exact stream (bitwise-testable) and fed to
+    the kernel — a large HLO, kept for parity testing.
+    """
     kern = make_pallas_bucket_search(E, n1, d2, c_par, r_seq, lorder,
-                                     params, interpret)
+                                     params, interpret, rng_mode=rng_mode)
     P = n1 + 3 * params.maxiter
 
     def f(seed, tag, indices, n2, qt, qtv, qtabp, qdmat, types2, tab2p,
           dmat2):
+        if rng_mode == "pltpu":
+            packed = jnp.concatenate([
+                jnp.asarray(seed, jnp.int32)[None],
+                jnp.asarray(tag, jnp.int32)[None],
+                indices.astype(jnp.int32)])
+            return kern(n2, qt, qtv, qtabp, qdmat, types2, tab2p, dmat2,
+                        packed)
         base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(indices)
 
@@ -107,7 +122,8 @@ def search_bucket_pallas(query: PackedQuery, bucket: PackedBucket, *,
                          query_tag: int, c_max: int = C_LANES,
                          params: SAParams = DEFAULTS,
                          device_arrays: dict | None = None,
-                         interpret: bool = False
+                         interpret: bool = False,
+                         rng_mode: str = "pltpu"
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Search one packed bucket with the Pallas kernel.
 
@@ -128,7 +144,7 @@ def search_bucket_pallas(query: PackedQuery, bucket: PackedBucket, *,
     results = []
     for ch in darr["chunks"]:
         fn = _make_chunk_fn(ch["size"], n1, d2, c_par, r_seq, lorder,
-                            params, interpret)
+                            params, interpret, rng_mode)
         results.append((ch, fn(seed, query_tag, ch["indices"], ch["n2"],
                                *qargs, ch["types2"], ch["tab2p"],
                                ch["dmat2"])))

@@ -180,3 +180,44 @@ def test_min_sse_len_filter(tmp_path):
     struct = read_pdb(str(pdb_path))
     e = build_entry(struct, name="x", min_sse_len=8)
     assert e.order == 3  # the 6-residue strand is dropped
+
+
+def test_dssp_output_parsing():
+    from cuda_satabsearch_tpu.build.secstruct import (parse_dssp_output,
+                                                      parse_stride_output)
+
+    dssp = """\
+==== Secondary Structure Definition by the program DSSP ====
+  #  RESIDUE AA STRUCTURE BP1 BP2  ACC
+    1    1 A M  E     -A   30   0A 121
+    2    2 A Q  E     -A   29   0A  65
+    3    3 A I  H  > S+     0   0   96
+    4    4 A F  H  > S+     0   0   13
+    5    5 A V  G  > S+     0   0   13
+"""
+    helices, strands = parse_dssp_output(dssp)
+    assert len(strands) == 1 and strands[0].start == "1" \
+        and strands[0].end == "2"
+    assert len(helices) == 2
+    assert helices[0].helix_class == 1  # H -> alpha
+    assert helices[1].helix_class == 5  # G -> 3_10
+
+    stride = """\
+REM  ...
+ASG  MET A    1    1    E          Strand ...
+ASG  GLN A    2    2    E          Strand ...
+ASG  ILE A    3    3    H          AlphaHelix ...
+"""
+    h2, s2 = parse_stride_output(stride)
+    assert len(s2) == 1 and len(h2) == 1
+
+
+def test_secstruct_missing_program():
+    import pytest as _pytest
+
+    from cuda_satabsearch_tpu.build.secstruct import (find_program,
+                                                      run_secstruct)
+
+    if find_program("dssp") is None:
+        with _pytest.raises(RuntimeError):
+            run_secstruct("/tmp/x.pdb", "dssp")

@@ -137,3 +137,39 @@ def test_kernel_cpar_masking():
         res = golden.sa_chain(query, entries[0], True, 1, un[0, :, c])
         allmax = max(allmax, res.maxscore)
     assert s8[0] == allmax
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="pltpu PRNG has no CPU interpret lowering")
+def test_kernel_pltpu_rng_mode():
+    """In-kernel PRNG mode: deterministic, plausible scores (stream
+    differs from golden by design, like the reference's CPU vs GPU)."""
+    import jax.numpy as jnp
+    from cuda_satabsearch_tpu.ops.pallas_sa import (
+        make_pallas_bucket_search, prepare_query, pack_tab, round8)
+
+    rng = np.random.default_rng(21)
+    entries = [random_entry(rng, n, f"e{n}") for n in (6, 10, 15)]
+    query = pack_query(random_entry(rng, 7, "q"))
+    d2, c_par, r_seq = 16, 32, 2
+    E, n1 = len(entries), query.order
+    n1r = round8(n1)
+    types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+    qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
+    tab2p = np.stack([pack_tab(tabhi[i], tablo[i]) for i in range(E)])
+    fn = make_pallas_bucket_search(E, n1, d2, c_par, r_seq, True,
+                                   interpret=False, rng_mode="pltpu")
+    packed = np.concatenate([[1234, 0], np.arange(E)]).astype(np.int32)
+    args = (jnp.asarray(orders), jnp.asarray(qtypes), jnp.asarray(qtypesv),
+            jnp.asarray(qtabp), jnp.asarray(qdmat),
+            jnp.asarray(types.astype(np.int32))[:, :, None],
+            jnp.asarray(tab2p), jnp.asarray(dmat), jnp.asarray(packed))
+    s1, m1 = fn(*args)
+    s2, m2 = fn(*args)
+    s1 = np.asarray(s1)[:, 0, 0]
+    np.testing.assert_array_equal(s1, np.asarray(s2)[:, 0, 0])  # deterministic
+    # compare against engine scores on the same problem: same magnitude
+    es, _ = _run_engine(query, entries, d2, c_par, r_seq, True,
+                        entry_keys(1234, 0, np.arange(E)))
+    assert np.all(s1 >= -1)
+    assert np.all(np.abs(s1 - es) <= np.maximum(4, 0.8 * np.abs(es) + 4))
