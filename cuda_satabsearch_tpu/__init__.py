@@ -34,7 +34,18 @@ import os as _os
 # across processes is very costly.  Set before jax initializes its config
 # (importing this package before jax is enough; jax also re-reads the env
 # var lazily for the cache dir).
-_os.environ.setdefault(
+_cache_dir = _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.expanduser("~"), ".cache", "satabsearch_xla"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# The environment's sitecustomize imports jax at interpreter start, so
+# jax's config has already read (and missed) the env vars above; set the
+# config directly as well.
+try:  # pragma: no cover - depends on jax presence
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # jax missing or config renamed: cache is best-effort
+    pass

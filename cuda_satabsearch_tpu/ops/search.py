@@ -238,8 +238,7 @@ def upload_db(db: PackedDB, device=None, sharding=None,
         if use == "pallas":
             from .pallas_search import prepare_bucket_pallas
 
-            arrs = prepare_bucket_pallas(b)
-            entry["pallas"] = {k: put(v) for k, v in arrs.items()}
+            entry["pallas"] = prepare_bucket_pallas(b, device=device)
         else:
             entry["xla"] = {"types": put(b.types), "tabhi": put(b.tabhi),
                             "tablo": put(b.tablo), "dmat": put(b.dmat),
