@@ -173,13 +173,22 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
         n2 = n2_ref[e]
 
         if rng_mode == "pltpu":
-            # uniforms_ref here is (seed, tag, indices) packed in SMEM
-            pltpu.prng_seed(uniforms_ref[0], uniforms_ref[1],
-                            uniforms_ref[2 + e], r)
+            # uniforms_ref here is (seed, tag, indices) packed in SMEM.
+            # The hardware PRNG seeds from at most 2 words: mix
+            # (seed, tag) and (entry index, restart) with odd constants
+            # (Knuth multiplicative hashing; wrapping i32 mul).
+            s1 = (uniforms_ref[0] * I32(-1640531527)
+                  + uniforms_ref[1] * I32(97))
+            s2 = (uniforms_ref[2 + e] * I32(2057) + r * I32(-1105766181))
+            pltpu.prng_seed(s1, s2)
             bits = pltpu.prng_random_bits((Ppad, C))
-            uni[...] = (jax.lax.shift_right_logical(
-                pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8))
-                .astype(F32) * F32(2.0 ** -24))
+            # uint32 -> f32 cast is not Mosaic-expressible: shift to 24
+            # significant bits, reinterpret as (positive) int32, cast.
+            bits24 = pltpu.bitcast(
+                jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)),
+                jnp.int32)
+            uni[...] = bits24.astype(F32) * F32(2.0 ** -24)
 
         def read_u(lo, size):
             if rng_mode == "pltpu":

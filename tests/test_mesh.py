@@ -1,0 +1,49 @@
+"""Mesh-sharded execution: bitwise parity with single-device search.
+
+Runs on the virtual 8-device CPU mesh (conftest).  The entry-axis
+sharding must not change any score: per-entry RNG keys derive from the
+entry's file-order index, which is invariant to bucketing, padding, and
+sharding.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from cuda_satabsearch_tpu.io.pack import pack_database, pack_query  # noqa: E402
+from cuda_satabsearch_tpu.ops.search import search_db  # noqa: E402
+from cuda_satabsearch_tpu.parallel.mesh import (entry_sharding,  # noqa: E402
+                                                make_mesh)
+
+from conftest import random_entry  # noqa: E402
+
+
+def test_sharded_matches_unsharded():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    rng = np.random.default_rng(3)
+    entries = [random_entry(rng, int(n), f"e{i:03d}")
+               for i, n in enumerate(rng.integers(4, 30, size=21))]
+    query = pack_query(random_entry(rng, 9, "q"))
+
+    db_plain = pack_database(entries)
+    res_plain = search_db(query, db_plain, maxstart=16, lorder=True,
+                          seed=7, query_tag=3, backend="xla")
+
+    mesh = make_mesh(jax.devices()[:8])
+    db_pad = pack_database(entries, pad_to=mesh.size)
+    res_shard = search_db(query, db_pad, maxstart=16, lorder=True,
+                          seed=7, query_tag=3, backend="xla",
+                          sharding=entry_sharding(mesh))
+
+    np.testing.assert_array_equal(res_shard.scores, res_plain.scores)
+    np.testing.assert_array_equal(res_shard.ssemaps, res_plain.ssemaps)
+
+
+def test_mesh_padding_counts():
+    rng = np.random.default_rng(5)
+    entries = [random_entry(rng, 10, f"e{i}") for i in range(5)]
+    db = pack_database(entries, pad_to=8)
+    for b in db.buckets:
+        assert b.size % 8 == 0
+        assert (b.index >= 0).sum() == 5
