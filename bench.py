@@ -10,8 +10,15 @@ Prints ONE JSON line:
 
 Timing excludes DB load/upload and compilation (warm-up pass first),
 matching how the reference reports its kernel-only GPU execution time.
+
+Extra modes (stderr-only, do not change the headline JSON):
+  --large N     also run a synthetic N-entry DB (ASTRAL-like size mix,
+                reference full-DB baseline 1903.2 M it/s)
+  --restarts R  restart count (headline default 128)
+  --backend B   pallas | xla | auto
 """
 
+import argparse
 import json
 import os
 import sys
@@ -22,11 +29,66 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tests", "fixtures")
 BASELINE_M_IT_S = 1264.7  # A100, same workload (README_example_usage.txt:85)
-RESTARTS = 128
+BASELINE_LARGE = 1903.2  # A100, 14291-entry ASTRAL (README_example:241-242)
 REPEATS = 5
 
 
+def synthetic_entries(n):
+    """ASTRAL-2.07-like SSE-count mix (median ~10, tail to 111)."""
+    import numpy as np
+
+    from cuda_satabsearch_tpu.io.parser import TableauEntry
+
+    rng = np.random.default_rng(0)
+    orders = np.clip(rng.lognormal(2.35, 0.55, size=n).astype(int), 2, 111)
+    out = []
+    for i, o in enumerate(sorted(orders)):
+        types = rng.integers(0, 4, size=o).astype(np.uint8)
+        hi = np.triu(rng.integers(0, 4, size=(o, o)), 1).astype(np.uint8)
+        hi = hi + hi.T
+        lo = np.triu(rng.integers(0, 4, size=(o, o)), 1).astype(np.uint8)
+        lo = lo + lo.T
+        np.fill_diagonal(hi, types)
+        np.fill_diagonal(lo, types)
+        d = np.triu(rng.random((o, o)) * 30.0, 1).astype(np.float32)
+        d = (d + d.T).astype(np.float32)
+        np.fill_diagonal(d, types.astype(np.float32))
+        out.append(TableauEntry(name=f"syn{i:05d}", order=int(o), tabhi=hi,
+                                tablo=lo, types=types, dmat=d))
+    return out
+
+
+def run_search(session, query, restarts, label, baseline):
+    t0 = time.perf_counter()
+    result = session.search(query, lorder=True, query_tag=0)
+    print(f"# [{label}] warm-up (incl. compile): "
+          f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    best = float("inf")
+    for rep in range(REPEATS):
+        t0 = time.perf_counter()
+        result = session.search(query, lorder=True, query_tag=rep)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"# [{label}] rep {rep}: {dt * 1000:.1f} ms", file=sys.stderr)
+    iters = session.nentries * restarts * session.config.params.maxiter
+    m_it_s = iters / best / 1e6
+    top = sorted(zip(result.scores, result.names), reverse=True)[:3]
+    print(f"# [{label}] top hits: {[(n, int(s)) for s, n in top]}",
+          file=sys.stderr)
+    print(f"# [{label}] {m_it_s:.1f} M it/s "
+          f"({m_it_s / baseline:.3f}x of A100 baseline)", file=sys.stderr)
+    return m_it_s
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--restarts", type=int, default=128)
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "pallas", "xla"))
+    ap.add_argument("--large", type=int, default=0,
+                    help="also bench a synthetic N-entry DB")
+    args = ap.parse_args()
+
     from cuda_satabsearch_tpu.io.pack import pack_query
     from cuda_satabsearch_tpu.io.parser import parse_search_input
     from cuda_satabsearch_tpu.session import SearchSession, SessionConfig
@@ -36,28 +98,22 @@ def main():
     query = pack_query(sin.queries[0])
 
     dbfile = os.path.join(FIXTURES, "tableauxdistmatrixdb.small.ascii")
-    session = SearchSession(dbfile, SessionConfig(maxstart=RESTARTS))
+    session = SearchSession(dbfile, SessionConfig(
+        maxstart=args.restarts, backend=args.backend))
     print(f"# db: {session.nentries} entries, query: {query.name} "
-          f"({query.order} SSEs), restarts: {RESTARTS}", file=sys.stderr)
+          f"({query.order} SSEs), restarts: {args.restarts}, "
+          f"backend: {args.backend}", file=sys.stderr)
+    m_it_s = run_search(session, query, args.restarts, "586db",
+                        BASELINE_M_IT_S)
 
-    # warm-up: compile every bucket shape
-    t0 = time.perf_counter()
-    result = session.search(query, lorder=True, query_tag=0)
-    print(f"# warm-up (incl. compile): {time.perf_counter() - t0:.1f} s",
-          file=sys.stderr)
+    if args.large:
+        entries = synthetic_entries(args.large)
+        big = SearchSession("<synthetic>", SessionConfig(
+            maxstart=args.restarts, backend=args.backend), entries=entries)
+        print(f"# large db: {big.nentries} entries", file=sys.stderr)
+        run_search(big, query, args.restarts, f"large{args.large}",
+                   BASELINE_LARGE)
 
-    best = float("inf")
-    for rep in range(REPEATS):
-        t0 = time.perf_counter()
-        result = session.search(query, lorder=True, query_tag=rep)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        print(f"# rep {rep}: {dt * 1000:.1f} ms", file=sys.stderr)
-
-    iters = session.nentries * RESTARTS * session.config.params.maxiter
-    m_it_s = iters / best / 1e6
-    top = sorted(zip(result.scores, result.names), reverse=True)[:3]
-    print(f"# top hits: {[(n, int(s)) for s, n in top]}", file=sys.stderr)
     print(json.dumps({
         "metric": "sa_search_throughput_586db_8sse_r128",
         "value": round(m_it_s, 2),

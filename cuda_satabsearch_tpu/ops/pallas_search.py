@@ -153,3 +153,103 @@ def search_bucket_pallas(query: PackedQuery, bucket: PackedBucket, *,
         scores[ch["start"]:ch["end"]] = np.asarray(s)[:k, 0, 0]
         maps[ch["start"]:ch["end"]] = np.asarray(m)[:k, :n1, 0]
     return scores, maps
+
+
+@functools.lru_cache(maxsize=None)
+def _make_db_fn(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
+                lorder: bool, params: SAParams, interpret: bool,
+                rng_mode: str):
+    """One-dispatch WHOLE-DB search: every bucket's every chunk runs
+    inside a single jitted program (per-chunk dispatch costs a full
+    device round trip — ~tens of ms through a TPU tunnel — which would
+    otherwise dominate the ~30 us/entry kernel).
+
+    chunk_shapes: tuple of (E, d2) per chunk, in traversal order.
+    """
+    kerns = {}
+    for E, d2 in set(chunk_shapes):
+        kerns[(E, d2)] = make_pallas_bucket_search(
+            E, n1, d2, c_par, r_seq, lorder, params, interpret,
+            rng_mode=rng_mode)
+    P = n1 + 3 * params.maxiter
+
+    def f(seed, tag, qt, qtv, qtabp, qdmat, chunk_args):
+        outs = []
+        for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
+                chunk_shapes, chunk_args):
+            kern = kerns[(E, d2)]
+            if rng_mode == "pltpu":
+                packed = jnp.concatenate([
+                    jnp.asarray(seed, jnp.int32)[None],
+                    jnp.asarray(tag, jnp.int32)[None],
+                    indices.astype(jnp.int32)])
+                outs.append(kern(n2, qt, qtv, qtabp, qdmat, types2,
+                                 tab2p, dmat2, packed))
+            else:
+                base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(base, i))(indices)
+
+                def per_entry(key):
+                    def per_restart(r):
+                        u = jax.random.uniform(
+                            jax.random.fold_in(key, r), (P, c_par),
+                            dtype=jnp.float32)
+                        if c_par < C_LANES:
+                            u = jnp.pad(u,
+                                        ((0, 0), (0, C_LANES - c_par)))
+                        return u
+                    return jax.vmap(per_restart)(
+                        jnp.arange(r_seq, dtype=jnp.uint32))
+
+                uniforms = jax.vmap(per_entry)(keys)
+                outs.append(kern(n2, qt, qtv, qtabp, qdmat, types2,
+                                 tab2p, dmat2, uniforms))
+        return outs
+
+    return jax.jit(f)
+
+
+def search_db_pallas(query: PackedQuery, db, *, maxstart: int,
+                     lorder: bool, seed: int, query_tag: int,
+                     c_max: int = C_LANES, params: SAParams = DEFAULTS,
+                     device_db: dict | None = None,
+                     interpret: bool = False,
+                     rng_mode: str = "pltpu"):
+    """Whole-DB single-dispatch search; returns (scores, maps) in file
+    order (the pallas analog of ops.search.search_db's bucket loop)."""
+    n1 = query.order
+    n1r = round8(n1)
+    c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
+    qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
+    qargs = (jnp.asarray(qtypes), jnp.asarray(qtypesv),
+             jnp.asarray(qtabp), jnp.asarray(qdmat))
+
+    shapes = []
+    chunk_args = []
+    chunk_meta = []  # (bucket, start, end)
+    for bi, bucket in enumerate(db.buckets):
+        darr = None
+        if device_db is not None:
+            darr = device_db.get(bi, {}).get("pallas")
+        if darr is None:
+            darr = prepare_bucket_pallas(bucket)
+        for ch in darr["chunks"]:
+            shapes.append((ch["size"], bucket.dim))
+            chunk_args.append((ch["indices"], ch["n2"], ch["types2"],
+                               ch["tab2p"], ch["dmat2"]))
+            chunk_meta.append((bucket, ch["start"], ch["end"]))
+
+    fn = _make_db_fn(tuple(shapes), n1, c_par, r_seq, lorder, params,
+                     interpret, rng_mode)
+    outs = fn(seed, query_tag, *qargs, chunk_args)
+
+    scores = np.zeros((db.nentries,), np.int32)
+    maps = np.full((db.nentries, n1), -1, np.int32)
+    for (bucket, start, end), (s, m) in zip(chunk_meta, outs):
+        k = end - start
+        sub_idx = bucket.index[start:end]
+        valid = sub_idx >= 0
+        scores[sub_idx[valid]] = np.asarray(s)[:k, 0, 0][valid]
+        maps[sub_idx[valid]] = np.asarray(m)[:k, :n1, 0][valid]
+    return scores, maps

@@ -187,23 +187,25 @@ def search_db(query: PackedQuery, db: PackedDB, *,
     scores = np.zeros((db.nentries,), np.int32)
     maps = np.full((db.nentries, n1), -1, np.int32)
     use = resolve_backend(backend, sharding)
+    if use == "pallas":
+        from .pallas_search import search_db_pallas
+
+        scores, maps = search_db_pallas(
+            query, db, maxstart=maxstart, lorder=lorder, seed=seed,
+            query_tag=query_tag, c_max=c_max, params=params,
+            device_db=device_db)
+        return SearchResult(scores=scores, ssemaps=maps, names=db.names,
+                            orders=db.orders, query_order=n1,
+                            maxstart=maxstart)
     for bi, bucket in enumerate(db.buckets):
         darr = device_db.get(bi) if device_db is not None else None
-        if use == "pallas":
-            from .pallas_search import search_bucket_pallas
-
-            s, m = search_bucket_pallas(
-                query, bucket, maxstart=maxstart, lorder=lorder, seed=seed,
-                query_tag=query_tag, c_max=c_max, params=params,
-                device_arrays=darr.get("pallas") if darr else None)
-        else:
-            s, m = search_bucket(
-                query, bucket, maxstart=maxstart,
-                lorder=lorder, seed=seed, query_tag=query_tag,
-                c_max=c_max, gather_mode=gather_mode,
-                params=params,
-                device_arrays=darr.get("xla") if darr else None,
-                sharding=sharding)
+        s, m = search_bucket(
+            query, bucket, maxstart=maxstart,
+            lorder=lorder, seed=seed, query_tag=query_tag,
+            c_max=c_max, gather_mode=gather_mode,
+            params=params,
+            device_arrays=darr.get("xla") if darr else None,
+            sharding=sharding)
         valid = bucket.index >= 0  # drop mesh-padding entries
         scores[bucket.index[valid]] = s[valid]
         maps[bucket.index[valid]] = m[valid]
