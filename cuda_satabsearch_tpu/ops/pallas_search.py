@@ -210,14 +210,19 @@ def _make_db_fn(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
     return jax.jit(f)
 
 
-def search_db_pallas(query: PackedQuery, db, *, maxstart: int,
-                     lorder: bool, seed: int, query_tag: int,
-                     c_max: int = C_LANES, params: SAParams = DEFAULTS,
-                     device_db: dict | None = None,
-                     interpret: bool = False,
-                     rng_mode: str = "pltpu"):
-    """Whole-DB single-dispatch search; returns (scores, maps) in file
-    order (the pallas analog of ops.search.search_db's bucket loop)."""
+def dispatch_db_pallas(query: PackedQuery, db, *, maxstart: int,
+                       lorder: bool, seed: int, query_tag: int,
+                       c_max: int = C_LANES, params: SAParams = DEFAULTS,
+                       device_db: dict | None = None,
+                       interpret: bool = False,
+                       rng_mode: str = "pltpu"):
+    """Issue the whole-DB single-dispatch search WITHOUT draining.
+
+    Returns an opaque handle; pass to assemble_db_pallas to block and
+    build (scores, maps).  Lets callers pipeline a stream of queries:
+    all device work is enqueued back-to-back, host round trips are paid
+    once at the end (the reference's kernel-only timing semantics).
+    """
     n1 = query.order
     n1r = round8(n1)
     c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
@@ -243,7 +248,12 @@ def search_db_pallas(query: PackedQuery, db, *, maxstart: int,
     fn = _make_db_fn(tuple(shapes), n1, c_par, r_seq, lorder, params,
                      interpret, rng_mode)
     outs = fn(seed, query_tag, *qargs, chunk_args)
+    return (db, n1, chunk_meta, outs)
 
+
+def assemble_db_pallas(handle) -> tuple[np.ndarray, np.ndarray]:
+    """Block on a dispatch_db_pallas handle; (scores, maps) file order."""
+    db, n1, chunk_meta, outs = handle
     scores = np.zeros((db.nentries,), np.int32)
     maps = np.full((db.nentries, n1), -1, np.int32)
     for (bucket, start, end), (s, m) in zip(chunk_meta, outs):
@@ -253,3 +263,9 @@ def search_db_pallas(query: PackedQuery, db, *, maxstart: int,
         scores[sub_idx[valid]] = np.asarray(s)[:k, 0, 0][valid]
         maps[sub_idx[valid]] = np.asarray(m)[:k, :n1, 0][valid]
     return scores, maps
+
+
+def search_db_pallas(query: PackedQuery, db, **kw):
+    """Whole-DB single-dispatch search; returns (scores, maps) in file
+    order (the pallas analog of ops.search.search_db's bucket loop)."""
+    return assemble_db_pallas(dispatch_db_pallas(query, db, **kw))

@@ -91,6 +91,38 @@ class SearchSession:
             return None
         return pack_query(self.db.entry(*loc))
 
+    def search_many(self, queries, *, lorder: bool = True
+                    ) -> list[SearchResult]:
+        """Pipelined multi-query search (Pallas backend): dispatch all
+        queries asynchronously, drain once.  Sustains device throughput
+        when per-dispatch host latency is significant (remote tunnels,
+        many small queries).  Falls back to sequential search elsewhere.
+        """
+        from .ops.search import resolve_backend
+
+        cfg = self.config
+        if resolve_backend(cfg.backend, self.sharding) != "pallas":
+            return [self.search(q, lorder=lorder) for q in queries]
+        from .ops.pallas_search import (assemble_db_pallas,
+                                        dispatch_db_pallas)
+
+        handles = []
+        for q in queries:
+            tag = self._query_tag
+            self._query_tag += 1
+            handles.append(dispatch_db_pallas(
+                q, self.db, maxstart=cfg.maxstart, lorder=lorder,
+                seed=cfg.seed, query_tag=tag, c_max=cfg.c_max,
+                params=cfg.params, device_db=self.device_db))
+        out = []
+        for q, h in zip(queries, handles):
+            scores, maps = assemble_db_pallas(h)
+            out.append(SearchResult(
+                scores=scores, ssemaps=maps, names=self.db.names,
+                orders=self.db.orders, query_order=q.order,
+                maxstart=cfg.maxstart))
+        return out
+
     def search(self, query: PackedQuery, *, lorder: bool = True,
                query_tag: int | None = None) -> SearchResult:
         cfg = self.config
