@@ -269,3 +269,151 @@ def search_db_pallas(query: PackedQuery, db, **kw):
     """Whole-DB single-dispatch search; returns (scores, maps) in file
     order (the pallas analog of ops.search.search_db's bucket loop)."""
     return assemble_db_pallas(dispatch_db_pallas(query, db, **kw))
+
+
+# ---------------------------------------------------------------------------
+# v2 (entry-group) kernel path
+# ---------------------------------------------------------------------------
+
+MAX_GROUP = 16  # pallas_sa2.choose_group upper bound; chunk sizes must
+# be multiples of it so any group size divides them
+
+
+def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
+                           chunk_entries: int = CHUNK_ENTRIES) -> dict:
+    """v2-layout bucket arrays pre-sliced into padded chunks: tables
+    stacked flat as [E*d2, d2] so a grid block (G*d2, d2) covers a
+    whole entry group.  Every chunk is padded to a multiple of
+    MAX_GROUP (padding rows replicate entry 0 and are dropped at
+    assembly)."""
+    n = bucket.size
+    d2 = bucket.dim
+    cs = min(chunk_entries, -(-max(n, 1) // MAX_GROUP) * MAX_GROUP)
+    tab2p_full = pack_tab(bucket.tabhi, bucket.tablo)
+    types_full = bucket.types.astype(np.int32)
+    dmat_full = bucket.dmat.astype(np.float32)
+    orders_full = bucket.orders.astype(np.int32)
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, device) if device is not None else x
+
+    chunks = []
+    for start, end, _idx in _chunk_plan(n, cs):
+        k = end - start
+        E = -(-k // MAX_GROUP) * MAX_GROUP
+        idx = np.concatenate([np.arange(start, end),
+                              np.zeros(E - k, np.int64)])
+        chunks.append({
+            "start": start, "end": end, "size": E,
+            "indices": put(bucket.index[idx].astype(np.uint32)),
+            "n2": put(orders_full[idx]),
+            "types2": put(types_full[idx].reshape(E * d2, 1)),
+            "tab2p": put(tab2p_full[idx].reshape(E * d2, d2)),
+            "dmat2": put(dmat_full[idx].reshape(E * d2, d2)),
+        })
+    return {"chunks": chunks, "cs": cs, "v": 2}
+
+
+@functools.lru_cache(maxsize=None)
+def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
+                 lorder: bool, params: SAParams, interpret: bool,
+                 rng_mode: str):
+    """v2 single-dispatch whole-DB search (see _make_db_fn)."""
+    from .pallas_sa2 import choose_group, make_pallas2_bucket_search
+
+    n1r = round8(n1)
+    P = n1 + 3 * params.maxiter
+    kerns = {}
+    for E, d2 in set(chunk_shapes):
+        kerns[(E, d2)] = make_pallas2_bucket_search(
+            E, n1, d2, c_par, r_seq, lorder, params, interpret, rng_mode)
+
+    def f(seed, tag, qt, qtabp, qdmat, chunk_args):
+        outs = []
+        for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
+                chunk_shapes, chunk_args):
+            kern, G = kerns[(E, d2)]
+            NQ = G * n1r
+            qtv = jnp.tile(qt.astype(jnp.int32)[:, None], (G, 1))
+            if rng_mode == "pltpu":
+                rng_in = jnp.concatenate([
+                    jnp.asarray(seed, jnp.int32)[None],
+                    jnp.asarray(tag, jnp.int32)[None],
+                    indices.astype(jnp.int32)])
+            else:
+                base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(base, i))(indices)
+
+                def per_entry(key):
+                    def per_restart(r):
+                        u = jax.random.uniform(
+                            jax.random.fold_in(key, r), (P, c_par),
+                            dtype=jnp.float32)
+                        if c_par < C_LANES:
+                            u = jnp.pad(
+                                u, ((0, 0), (0, C_LANES - c_par)))
+                        return u
+                    return jax.vmap(per_restart)(
+                        jnp.arange(r_seq, dtype=jnp.uint32))
+
+                u4 = jax.vmap(per_entry)(keys)  # [E, r, P, C]
+                rng_in = (u4.reshape(E // G, G, r_seq, P, C_LANES)
+                          .transpose(0, 2, 3, 1, 4)
+                          .reshape(E // G, r_seq, P * G, C_LANES))
+            outs.append((kern(n2, qt, qtv, qtabp, qdmat, types2, tab2p,
+                              dmat2, rng_in), G))
+        return outs
+
+    return jax.jit(f)
+
+
+def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
+                        lorder: bool, seed: int, query_tag: int,
+                        c_max: int = C_LANES,
+                        params: SAParams = DEFAULTS,
+                        device_db: dict | None = None,
+                        interpret: bool = False,
+                        rng_mode: str = "pltpu"):
+    """v2 twin of dispatch_db_pallas."""
+    n1 = query.order
+    n1r = round8(n1)
+    c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
+    qtypes, _qtypesv, qtabp, qdmat = prepare_query(query, n1r)
+
+    shapes = []
+    chunk_args = []
+    chunk_meta = []
+    for bi, bucket in enumerate(db.buckets):
+        darr = None
+        if device_db is not None:
+            darr = device_db.get(bi, {}).get("pallas")
+        if darr is None or darr.get("v") != 2:
+            darr = prepare_bucket_pallas2(bucket)
+        for ch in darr["chunks"]:
+            shapes.append((ch["size"], bucket.dim))
+            chunk_args.append((ch["indices"], ch["n2"], ch["types2"],
+                               ch["tab2p"], ch["dmat2"]))
+            chunk_meta.append((bucket, ch["start"], ch["end"]))
+
+    fn = _make_db_fn2(tuple(shapes), n1, c_par, r_seq, lorder, params,
+                      interpret, rng_mode)
+    outs = fn(seed, query_tag, jnp.asarray(qtypes), jnp.asarray(qtabp),
+              jnp.asarray(qdmat), chunk_args)
+    return (db, n1, n1r, chunk_meta, outs)
+
+
+def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
+    db, n1, n1r, chunk_meta, outs = handle
+    scores = np.zeros((db.nentries,), np.int32)
+    maps = np.full((db.nentries, n1), -1, np.int32)
+    for (bucket, start, end), ((s, m), G) in zip(chunk_meta, outs):
+        k = end - start
+        sub_idx = bucket.index[start:end]
+        valid = sub_idx >= 0
+        sn = np.asarray(s)[:, :, 0].reshape(-1)[:k]
+        mn = np.asarray(m)[:, :, 0].reshape(-1, n1r)[:k, :n1]
+        scores[sub_idx[valid]] = sn[valid]
+        maps[sub_idx[valid]] = mn[valid]
+    return scores, maps

@@ -188,12 +188,13 @@ def search_db(query: PackedQuery, db: PackedDB, *,
     maps = np.full((db.nentries, n1), -1, np.int32)
     use = resolve_backend(backend, sharding)
     if use == "pallas":
-        from .pallas_search import search_db_pallas
+        from .pallas_search import (assemble_db_pallas2,
+                                    dispatch_db_pallas2)
 
-        scores, maps = search_db_pallas(
+        scores, maps = assemble_db_pallas2(dispatch_db_pallas2(
             query, db, maxstart=maxstart, lorder=lorder, seed=seed,
             query_tag=query_tag, c_max=c_max, params=params,
-            device_db=device_db)
+            device_db=device_db))
         return SearchResult(scores=scores, ssemaps=maps, names=db.names,
                             orders=db.orders, query_order=n1,
                             maxstart=maxstart)
@@ -238,9 +239,9 @@ def upload_db(db: PackedDB, device=None, sharding=None,
 
         entry = {}
         if use == "pallas":
-            from .pallas_search import prepare_bucket_pallas
+            from .pallas_search import prepare_bucket_pallas2
 
-            entry["pallas"] = prepare_bucket_pallas(b, device=device)
+            entry["pallas"] = prepare_bucket_pallas2(b, device=device)
         else:
             entry["xla"] = {"types": put(b.types), "tabhi": put(b.tabhi),
                             "tablo": put(b.tablo), "dmat": put(b.dmat),

@@ -103,20 +103,20 @@ class SearchSession:
         cfg = self.config
         if resolve_backend(cfg.backend, self.sharding) != "pallas":
             return [self.search(q, lorder=lorder) for q in queries]
-        from .ops.pallas_search import (assemble_db_pallas,
-                                        dispatch_db_pallas)
+        from .ops.pallas_search import (assemble_db_pallas2,
+                                        dispatch_db_pallas2)
 
         handles = []
         for q in queries:
             tag = self._query_tag
             self._query_tag += 1
-            handles.append(dispatch_db_pallas(
+            handles.append(dispatch_db_pallas2(
                 q, self.db, maxstart=cfg.maxstart, lorder=lorder,
                 seed=cfg.seed, query_tag=tag, c_max=cfg.c_max,
                 params=cfg.params, device_db=self.device_db))
         out = []
         for q, h in zip(queries, handles):
-            scores, maps = assemble_db_pallas(h)
+            scores, maps = assemble_db_pallas2(h)
             out.append(SearchResult(
                 scores=scores, ssemaps=maps, names=self.db.names,
                 orders=self.db.orders, query_order=q.order,

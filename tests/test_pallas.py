@@ -173,3 +173,62 @@ def test_kernel_pltpu_rng_mode():
                         entry_keys(1234, 0, np.arange(E)))
     assert np.all(s1 >= -1)
     assert np.all(np.abs(s1 - es) <= np.maximum(4, 0.8 * np.abs(es) + 4))
+
+
+def _run_db_v2(query, entries, c_par, r_seq, lorder, seed=1234, tag=0,
+               buckets=(16, 112)):
+    from cuda_satabsearch_tpu.io.pack import pack_database
+    from cuda_satabsearch_tpu.ops.pallas_search import (
+        assemble_db_pallas2, dispatch_db_pallas2)
+    from cuda_satabsearch_tpu.core.constants import SAParams
+
+    db = pack_database(entries, buckets=buckets)
+    h = dispatch_db_pallas2(query, db, maxstart=c_par * r_seq,
+                            lorder=lorder, seed=seed, query_tag=tag,
+                            c_max=c_par, interpret=True,
+                            rng_mode="supplied")
+    return assemble_db_pallas2(h), db
+
+
+@pytest.mark.parametrize("lorder", [True, False])
+def test_kernel_v2_matches_engine(lorder):
+    """Grouped (G=8) kernel vs engine: bitwise on shared streams."""
+    rng = np.random.default_rng(17)
+    entries = [random_entry(rng, int(n), f"e{i}")
+               for i, n in enumerate(rng.integers(4, 17, size=11))]
+    query = pack_query(random_entry(rng, 7, "q"))
+    c_par, r_seq = 16, 2
+
+    (ks, kb), db = _run_db_v2(query, entries, c_par, r_seq, lorder)
+    es, eb = _run_engine(query, entries, 16, c_par, r_seq, lorder,
+                         entry_keys(1234, 0, np.arange(len(entries))))
+    # engine result is per-bucket order; map back via bucket index
+    b = db.buckets[0]
+    np.testing.assert_array_equal(ks[b.index[b.index >= 0]],
+                                  es[: (b.index >= 0).sum()])
+    np.testing.assert_array_equal(ks, es)  # single bucket, same order
+    np.testing.assert_array_equal(kb, eb)
+
+
+def test_kernel_v2_multi_bucket():
+    """Entries spanning several caps (different G per bucket)."""
+    rng = np.random.default_rng(23)
+    sizes = [5, 9, 14, 18, 25, 31, 40, 60, 100]
+    entries = [random_entry(rng, n, f"e{i}") for i, n in enumerate(sizes)]
+    query = pack_query(random_entry(rng, 10, "q"))
+
+    (ks, kb), db = _run_db_v2(query, entries, 8, 1, True,
+                              buckets=(16, 32, 64, 112))
+    # engine reference, bucket by bucket
+    from cuda_satabsearch_tpu.io.pack import pack_database
+
+    es = np.zeros_like(ks)
+    eb = np.full_like(kb, -1)
+    for b in db.buckets:
+        sub = [entries[i] for i in b.index if i >= 0]
+        s, m = _run_engine(query, sub, b.dim, 8, 1, True,
+                           entry_keys(1234, 0, b.index[b.index >= 0]))
+        es[b.index[b.index >= 0]] = s
+        eb[b.index[b.index >= 0]] = m
+    np.testing.assert_array_equal(ks, es)
+    np.testing.assert_array_equal(kb, eb)
