@@ -364,7 +364,14 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                           .reshape(E // G, r_seq, P * G, C_LANES))
             outs.append((kern(n2, qt, qtv, qtabp, qdmat, types2, tab2p,
                               dmat2, rng_in), G))
-        return outs
+        # concatenate on device: the drain must be ONE transfer per
+        # output, not one per chunk (each D2H costs a full round trip
+        # through remote-TPU tunnels)
+        scores_flat = jnp.concatenate(
+            [S[:, :, 0].reshape(-1) for (S, _M), _G in outs])
+        maps_flat = jnp.concatenate(
+            [M[:, :, 0].reshape(-1, n1r) for (_S, M), _G in outs])
+        return scores_flat, maps_flat
 
     return jax.jit(f)
 
@@ -395,7 +402,8 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
             shapes.append((ch["size"], bucket.dim))
             chunk_args.append((ch["indices"], ch["n2"], ch["types2"],
                                ch["tab2p"], ch["dmat2"]))
-            chunk_meta.append((bucket, ch["start"], ch["end"]))
+            chunk_meta.append(((bucket, ch["start"], ch["end"]),
+                               ch["size"]))
 
     fn = _make_db_fn2(tuple(shapes), n1, c_par, r_seq, lorder, params,
                       interpret, rng_mode)
@@ -405,15 +413,17 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
 
 
 def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
-    db, n1, n1r, chunk_meta, outs = handle
+    db, n1, n1r, chunk_meta, (scores_flat, maps_flat) = handle
+    sf = np.asarray(scores_flat)
+    mf = np.asarray(maps_flat)
     scores = np.zeros((db.nentries,), np.int32)
     maps = np.full((db.nentries, n1), -1, np.int32)
-    for (bucket, start, end), ((s, m), G) in zip(chunk_meta, outs):
+    off = 0
+    for (bucket, start, end), size in chunk_meta:
         k = end - start
         sub_idx = bucket.index[start:end]
         valid = sub_idx >= 0
-        sn = np.asarray(s)[:, :, 0].reshape(-1)[:k]
-        mn = np.asarray(m)[:, :, 0].reshape(-1, n1r)[:k, :n1]
-        scores[sub_idx[valid]] = sn[valid]
-        maps[sub_idx[valid]] = mn[valid]
+        scores[sub_idx[valid]] = sf[off:off + k][valid]
+        maps[sub_idx[valid]] = mf[off:off + k, :n1][valid]
+        off += size
     return scores, maps
