@@ -233,8 +233,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                              0.0))
                 return tuple(out)
 
+            # Mosaic's fori lowering only supports full unroll or 1
             return lax.fori_loop(0, n1, body, tuple(ys),
-                                 unroll=min(n1, 8))
+                                 unroll=n1 if n1 <= 16 else 1)
 
         # ---- thinit (kernel.cu:588-648)
         ssemap[...] = jnp.full((NQ, C), -1, I32)

@@ -376,6 +376,131 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
+                      r_seq: int, lorder: bool, params: SAParams,
+                      interpret: bool, rng_mode: str):
+    """Multi-query single-dispatch: lax.scan over a stacked query axis.
+
+    The scan body is the whole-DB search of _make_db_fn2 — compiled
+    ONCE regardless of the number of queries — and the stacked outputs
+    leave the device as a single transfer.  This is the piece the
+    reference only scaffolds (host/GPU overlap, cudaSaTabsearch.cu
+    :1089-1091 commented out): with a remote-tunnel TPU a D2H drain
+    costs a ~25-35 ms round trip, so per-query draining caps wall-clock
+    throughput regardless of kernel speed.
+    """
+    inner = _make_db_fn2(chunk_shapes, n1, c_par, r_seq, lorder, params,
+                         interpret, rng_mode).__wrapped__
+
+    def f(seed, tags, qts, qtabps, qdmats, chunk_args):
+        def body(_, per_q):
+            tag, qt, qtabp, qdmat = per_q
+            return None, inner(seed, tag, qt, qtabp, qdmat, chunk_args)
+
+        _, (scores, maps) = jax.lax.scan(
+            body, None, (tags, qts, qtabps, qdmats))
+        return scores, maps  # [K, total], [K, total, n1r]
+
+    return jax.jit(f)
+
+
+K_TILE = 8  # fixed scan length: one compile covers any batch size
+
+
+@functools.lru_cache(maxsize=None)
+def _concat_k(ntiles: int):
+    return jax.jit(lambda *parts: (
+        jnp.concatenate([p[0] for p in parts], axis=0),
+        jnp.concatenate([p[1] for p in parts], axis=0)))
+
+
+def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
+                              seed: int, query_tags, c_max: int = C_LANES,
+                              params: SAParams = DEFAULTS,
+                              device_db: dict | None = None,
+                              interpret: bool = False,
+                              rng_mode: str = "pltpu"):
+    """Dispatch K same-order queries as a pipeline of fixed-size scan
+    tiles (K_TILE queries per device program; the batch is padded by
+    replicating the last query under throwaway tags, so ONE compiled
+    program covers any K).  Tile outputs are concatenated on device;
+    the handle drains with assemble_db_pallas2_multi in a single D2H
+    transfer.
+    """
+    n1 = queries[0].order
+    assert all(q.order == n1 for q in queries)
+    n1r = round8(n1)
+    c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
+
+    K = len(queries)
+    tags = list(query_tags)
+    assert len(tags) == K
+    pad = (-K) % K_TILE
+    queries = list(queries) + [queries[-1]] * pad
+    maxtag = max(tags)
+    tags = tags + [maxtag + 1 + i for i in range(pad)]
+
+    qts, qtabps, qdmats = [], [], []
+    for q in queries:
+        qtypes, _qtv, qtabp, qdmat = prepare_query(q, n1r)
+        qts.append(qtypes)
+        qtabps.append(qtabp)
+        qdmats.append(qdmat)
+
+    shapes = []
+    chunk_args = []
+    chunk_meta = []
+    for bi, bucket in enumerate(db.buckets):
+        darr = None
+        if device_db is not None:
+            darr = device_db.get(bi, {}).get("pallas")
+        if darr is None or darr.get("v") != 2:
+            darr = prepare_bucket_pallas2(bucket)
+        for ch in darr["chunks"]:
+            shapes.append((ch["size"], bucket.dim))
+            chunk_args.append((ch["indices"], ch["n2"], ch["types2"],
+                               ch["tab2p"], ch["dmat2"]))
+            chunk_meta.append(((bucket, ch["start"], ch["end"]),
+                               ch["size"]))
+
+    fn = _make_db_scan_fn2(tuple(shapes), n1, c_par, r_seq, lorder,
+                           params, interpret, rng_mode)
+    qts = np.stack(qts)
+    qtabps = np.stack(qtabps)
+    qdmats = np.stack(qdmats)
+    parts = []
+    for t0 in range(0, K + pad, K_TILE):
+        sl = slice(t0, t0 + K_TILE)
+        parts.append(fn(seed, jnp.asarray(tags[sl], jnp.int32),
+                        jnp.asarray(qts[sl]), jnp.asarray(qtabps[sl]),
+                        jnp.asarray(qdmats[sl]), chunk_args))
+    outs = parts[0] if len(parts) == 1 else _concat_k(len(parts))(*parts)
+    return (db, n1, n1r, chunk_meta, outs, K)
+
+
+def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Drain a multi-query handle: ONE D2H per output array, then
+    host-side slicing into per-query (scores, maps) in file order."""
+    db, n1, n1r, chunk_meta, (scores_k, maps_k), K = handle
+    sf_k = np.asarray(scores_k)
+    mf_k = np.asarray(maps_k)
+    results = []
+    for qi in range(K):
+        scores = np.zeros((db.nentries,), np.int32)
+        maps = np.full((db.nentries, n1), -1, np.int32)
+        off = 0
+        for (bucket, start, end), size in chunk_meta:
+            k = end - start
+            sub_idx = bucket.index[start:end]
+            valid = sub_idx >= 0
+            scores[sub_idx[valid]] = sf_k[qi, off:off + k][valid]
+            maps[sub_idx[valid]] = mf_k[qi, off:off + k, :n1][valid]
+            off += size
+        results.append((scores, maps))
+    return results
+
+
 def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
                         lorder: bool, seed: int, query_tag: int,
                         c_max: int = C_LANES,

@@ -103,24 +103,34 @@ class SearchSession:
         cfg = self.config
         if resolve_backend(cfg.backend, self.sharding) != "pallas":
             return [self.search(q, lorder=lorder) for q in queries]
-        from .ops.pallas_search import (assemble_db_pallas2,
-                                        dispatch_db_pallas2)
+        from .ops.pallas_search import (assemble_db_pallas2_multi,
+                                        dispatch_db_pallas2_multi)
+
+        # group queries by SSE count (the kernel is specialized per
+        # order); each group is ONE device program + ONE drain
+        order_groups: dict[int, list[int]] = {}
+        for i, q in enumerate(queries):
+            order_groups.setdefault(q.order, []).append(i)
 
         handles = []
-        for q in queries:
-            tag = self._query_tag
-            self._query_tag += 1
-            handles.append(dispatch_db_pallas2(
-                q, self.db, maxstart=cfg.maxstart, lorder=lorder,
-                seed=cfg.seed, query_tag=tag, c_max=cfg.c_max,
-                params=cfg.params, device_db=self.device_db))
-        out = []
-        for q, h in zip(queries, handles):
-            scores, maps = assemble_db_pallas2(h)
-            out.append(SearchResult(
-                scores=scores, ssemaps=maps, names=self.db.names,
-                orders=self.db.orders, query_order=q.order,
-                maxstart=cfg.maxstart))
+        for order, idxs in order_groups.items():
+            tags = []
+            for _ in idxs:
+                tags.append(self._query_tag)
+                self._query_tag += 1
+            handles.append((idxs, dispatch_db_pallas2_multi(
+                [queries[i] for i in idxs], self.db,
+                maxstart=cfg.maxstart, lorder=lorder, seed=cfg.seed,
+                query_tags=tags, c_max=cfg.c_max, params=cfg.params,
+                device_db=self.device_db)))
+        out: list = [None] * len(queries)
+        for idxs, h in handles:
+            for i, (scores, maps) in zip(idxs,
+                                         assemble_db_pallas2_multi(h)):
+                out[i] = SearchResult(
+                    scores=scores, ssemaps=maps, names=self.db.names,
+                    orders=self.db.orders, query_order=queries[i].order,
+                    maxstart=cfg.maxstart)
         return out
 
     def search(self, query: PackedQuery, *, lorder: bool = True,
