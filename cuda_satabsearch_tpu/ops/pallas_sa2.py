@@ -1,16 +1,26 @@
-"""Pallas TPU kernel v2: entry-group sublane batching.
+"""Pallas TPU kernel v2: entry-group sublane batching, db-domain delta.
 
 Same semantics as ops/pallas_sa.py (the v1 kernel, kept for reference
 and cross-checking) but processes G database entries per grid step,
-packing their SSE dimensions side by side in the sublane axis:
+packing their SSE dimensions side by side in the sublane axis, and —
+unlike v1 — evaluates the move delta in the *db-SSE domain*:
 
-* v1 ops touch [d2, C] tiles (2 sublane rows of 8 for the dominant
-  16-cap bucket) — per-op issue overhead dominates (~330 ns/entry/iter
-  measured on v5e);
-* v2 lays state out flat as [G*d2, C] / [G*n1r, C] with
-  G = largest power of two with G*max(d2, n1r) <= 128, so every
-  elementwise op fills a full 8x128-based tile column and the one-hot
-  gathers become 128x128 block-diagonal MXU contractions.
+* v1/v2r1 gathered per-query-SSE rows with an O(n1) loop of masked
+  segment reductions (~10 vector ops per query SSE per iteration);
+* here the only per-lane-index gathers are (a) three block-diagonal
+  one-hot MXU contractions fetching column oldj/newj of each entry's
+  tableau + distance matrix (the tableau pair rides ONE dot via a
+  64*oh_old + oh_new packed one-hot), and (b) one k-major contraction
+  fetching the query row/column at ssei, scattered to db rows by a
+  cheap revmap == k select loop (3 ops per query SSE).
+
+The delta itself is then a single masked pass over [G*d2, C]:
+for every db SSE l currently matched to query SSE k = revmap[l],
+score the pair (ssei, k) against (j, l) for j = oldj/newj exactly as
+the reference's deltasd does per thread (cudaSaTabsearch_kernel.cu
+:502-535), and segment-reduce.  The initial full score (tmscord,
+kernel.cu:396-440) reuses the same machinery per query SSE and halves
+the double-counted pair sum (exact: tableau scores are small ints).
 
 Layout contracts:
 * db-side flat index p = g*d2 + l (g = entry-in-group, l = db SSE);
@@ -20,10 +30,9 @@ Layout contracts:
   reshape + axis-1 reduce;
 * uniforms (supplied mode) are slot-major: row s*G + g = slot s of
   entry g, so a slot read is one contiguous [G, C] (or [3G, C]) slice;
-* block-diagonal tables (db tableau/distance, query tableau/distance)
-  are built once per grid step / kernel into VMEM scratch; the db and
-  query pairs are stacked vertically so each gather direction costs a
-  single MXU dot.
+* block-diagonal db tables are built once per grid step into VMEM
+  scratch; the query matrices arrive pre-scattered k-major as qb2
+  (rows k*G + g over cols (g, i); tableau stacked above distances).
 
 The uniform streams per (entry, restart) are identical to v1/engine/
 golden in "supplied" mode (bitwise-testable); "pltpu" mode uses the
@@ -49,11 +58,33 @@ F32 = jnp.float32
 C_LANES = 128
 
 
-def choose_group(d2: int, n1r: int, cap: int = 128) -> int:
+def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
+    """Entries per grid step.  Measured on v5e (586-entry benchmark,
+    8-SSE query): the 16-wide bucket is fastest at 128 state rows
+    (G=8; the block-diagonal gather dot grows quadratically with the
+    row count, and at 128 rows the VPU/MXU balance is best), while the
+    32/64/112-wide buckets win at ~256 rows (G=8/4/2) where per-op
+    issue overhead amortizes across more entries."""
+    w = max(d2, n1r)
+    if cap is None:
+        cap = 128 if w <= 16 else 256 if w <= 64 else 224
     g = 1
-    while 2 * g * max(d2, n1r) <= cap and 2 * g <= 16:
+    while 2 * g * w <= cap and 2 * g <= 16:
         g *= 2
     return g
+
+
+def make_qb2(qtabp: np.ndarray, qdmat: np.ndarray, G: int) -> jnp.ndarray:
+    """Build the k-major scattered query matrix [2*n1r*G, G*n1r]:
+    top half qb2[k*G + g, g*n1r + i] = qtabp[k, i], bottom half the
+    same scatter of qdmat.  dot(qb2, onehot[(g,i) == (g, ssei_g)])
+    then yields rows (k, g) = qtab[k, ssei_g] / qdmat[k, ssei_g]."""
+    eye = jnp.eye(G, dtype=F32)
+    top = jnp.einsum("ki,gh->kghi", jnp.asarray(qtabp, F32), eye)
+    bot = jnp.einsum("ki,gh->kghi", jnp.asarray(qdmat, F32), eye)
+    n1r = qtabp.shape[0]
+    return jnp.concatenate([top.reshape(n1r * G, G * n1r),
+                            bot.reshape(n1r * G, G * n1r)], axis=0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -61,13 +92,15 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                r_seq: int, lorder: bool,
                                params: SAParams = DEFAULTS,
                                interpret: bool = False,
-                               rng_mode: str = "supplied"):
+                               rng_mode: str = "supplied",
+                               lsoln: bool = True):
     """Build the grouped pallas_call for an E-entry chunk (G | E).
 
-    Returns fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtabp_f32[n1r,n1r],
-               qdmat_f32[n1r,n1r], types2_i32[E*d2, 1],
+    Returns fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtypesv_i32[NQ,1],
+               qb2_f32[2*n1r*G, NQ], types2_i32[E*d2, 1],
                tab2p_f32[E*d2, d2], dmat2_f32[E*d2, d2], rng_input)
          -> (scores_i32[E//G, G, C], bestmaps_i32[E//G, G*n1r, 1])
+            (bestmaps only when lsoln)
 
     rng_input: uniforms_f32[E//G, r_seq, P*G, C] (slot-major) for
     "supplied"; (seed, tag, indices[E]) int32[2+E] (SMEM) for "pltpu".
@@ -84,8 +117,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     BIG = n1 + d2 + 999
     DQ = G * d2  # db-side flat rows
     NQ = G * n1r  # query-side flat rows
+    NQH = n1r * G  # qb2 half offset (same value, named for clarity)
     PG = P * G  # uniforms rows per restart (slot-major)
     PGpad = round8(PG)
+    kloop_unroll = n1 <= 16
 
     def iota_d():  # flat db-side iota
         return lax.broadcasted_iota(I32, (DQ, C), 0)
@@ -95,9 +130,6 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
     def l_idx():
         return iota_d() % d2
-
-    def g_idx_d():
-        return iota_d() // d2
 
     def k_idx():
         return iota_q() % n1r
@@ -145,6 +177,29 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             s *= 2
         return x
 
+    def gather_by_revmap(qcol, rmap_v):
+        """qs[p, c] = qcol[(revmap[p, c], g(p)), c] for both halves:
+        the query-side row/distance of the SSE each mapped db SSE is
+        matched to.  Rows with revmap < 0 keep 0 (callers gate)."""
+        def body(k, carry, static=False):
+            qs_t, qs_d = carry
+            if static:
+                qv_t = qcol[k * G:(k + 1) * G]
+                qv_d = qcol[NQH + k * G:NQH + (k + 1) * G]
+            else:
+                qv_t = lax.dynamic_slice_in_dim(qcol, k * G, G, 0)
+                qv_d = lax.dynamic_slice_in_dim(qcol, NQH + k * G, G, 0)
+            m = rmap_v == k
+            return (jnp.where(m, rep_d(qv_t), qs_t),
+                    jnp.where(m, rep_d(qv_d), qs_d))
+
+        carry = (jnp.zeros((DQ, C), F32), jnp.zeros((DQ, C), F32))
+        if kloop_unroll:
+            for k in range(n1):
+                carry = body(k, carry, static=True)
+            return carry
+        return lax.fori_loop(0, n1, body, carry)
+
     def unpack_tsc(packed, qhi, qlo):
         dhi = jnp.floor(packed / 8.0)
         dlo = packed - dhi * 8.0
@@ -152,11 +207,16 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         le = dlo == qlo
         return jnp.where(he & le, 2.0, jnp.where(he | le, 1.0, -2.0))
 
-    def kernel(n2_ref, qtypes_ref, qtypesv_ref, qtabp_ref, qdmat_ref,
-               types2_ref, tab2p_ref, dmat2_ref, rng_ref,
-               outscore_ref, outbest_ref,
-               ssemap, revmap, score, maxscore, bestmap, uni,
-               bd_db, bd_q):
+    def kernel(*refs):
+        (n2_ref, qtypes_ref, qtypesv_ref, qb2_ref, types2_ref,
+         tab2p_ref, dmat2_ref, rng_ref, outscore_ref, *rest) = refs
+        if lsoln:
+            (outbest_ref, ssemap, revmap, score, maxscore, bestmap,
+             uni, bd_tab, bd_dmat) = rest
+        else:
+            (ssemap, revmap, score, maxscore, uni, bd_tab,
+             bd_dmat) = rest
+
         eg = pl.program_id(0)
         r = pl.program_id(1)
 
@@ -165,30 +225,21 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             [jnp.full((1, C), n2_ref[eg * G + g], I32) for g in range(G)],
             axis=0)
 
-        # ---- block-diagonal stacked tables, built once per grid step:
-        # bd_db [2*DQ, DQ] = [[BD(tab)], [BD(dmat)]]
+        # ---- block-diagonal tables, built once per grid step
         @pl.when(r == 0)
         def _():
-            bd_db[...] = jnp.zeros((2 * DQ, DQ), F32)
+            bd_tab[...] = jnp.zeros((DQ, DQ), F32)
+            bd_dmat[...] = jnp.zeros((DQ, DQ), F32)
             for g in range(G):
-                sl_r = pl.ds(g * d2, d2)
-                sl_c = pl.ds(g * d2, d2)
-                bd_db[sl_r, sl_c] = tab2p_ref[pl.ds(g * d2, d2), :]
-                bd_db[pl.ds(DQ + g * d2, d2), sl_c] = \
-                    dmat2_ref[pl.ds(g * d2, d2), :]
-
-        @pl.when((eg == 0) & (r == 0))
-        def _():
-            bd_q[...] = jnp.zeros((2 * NQ, NQ), F32)
-            for g in range(G):
-                sl_c = pl.ds(g * n1r, n1r)
-                bd_q[pl.ds(g * n1r, n1r), sl_c] = qtabp_ref[...]
-                bd_q[pl.ds(NQ + g * n1r, n1r), sl_c] = qdmat_ref[...]
+                sl = pl.ds(g * d2, d2)
+                bd_tab[sl, sl] = tab2p_ref[pl.ds(g * d2, d2), :]
+                bd_dmat[sl, sl] = dmat2_ref[pl.ds(g * d2, d2), :]
 
         @pl.when(r == 0)
         def _():
             maxscore[...] = jnp.full((G, C), NEG, I32)
-            bestmap[...] = jnp.full((NQ, C), -1, I32)
+            if lsoln:
+                bestmap[...] = jnp.full((NQ, C), -1, I32)
 
         if rng_mode == "pltpu":
             s1 = (rng_ref[0] * I32(-1640531527) + rng_ref[1] * I32(97))
@@ -208,34 +259,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             return rng_ref[0, 0, pl.ds(slot * G, nrows * G), :]
 
         types2 = types2_ref[...]  # [DQ, 1]
-        gather_db = bd_db[...]  # [2*DQ, DQ]
-        gather_q = bd_q[...]  # [2*NQ, NQ]
-
-        def rows_for(j):
-            """j [G, C] db-SSE index per entry -> (tab_rows, dmat_rows)
-            each [DQ, C] via one stacked block-diag MXU dot."""
-            oh = (l_idx() == rep_d(j)).astype(F32)
-            both = jnp.dot(gather_db, oh, preferred_element_type=F32)
-            return both[:DQ, :], both[DQ:, :]
-
-        def gather_maps(rows_list):
-            """y_t[p, c] = rows[(g, l_{g,k})] for each rows in
-            rows_list, sharing the per-k mask."""
-            ys = [jnp.zeros((NQ, C), F32) for _ in rows_list]
-
-            def body(k, ys):
-                l_k = extract_q(ssemap[...], k)  # [G, C]
-                m = l_idx() == rep_d(l_k)
-                out = []
-                for y, rows in zip(ys, rows_list):
-                    srow = seg_sum_d(jnp.where(m, rows, 0.0))
-                    out.append(y + jnp.where(k_idx() == k, rep_q(srow),
-                                             0.0))
-                return tuple(out)
-
-            # Mosaic's fori lowering only supports full unroll or 1
-            return lax.fori_loop(0, n1, body, tuple(ys),
-                                 unroll=n1 if n1 <= 16 else 1)
+        g_tab = bd_tab[...]  # [DQ, DQ]
+        g_dmat = bd_dmat[...]  # [DQ, DQ]
+        g_q = qb2_ref[...]  # [2*NQH, NQ]
 
         # ---- thinit (kernel.cu:588-648)
         ssemap[...] = jnp.full((NQ, C), -1, I32)
@@ -262,32 +288,38 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         lax.fori_loop(0, n1, thinit_body,
                       (jnp.zeros((G, C), I32), jnp.zeros((G, C), I32)))
 
-        # ---- initial full score (kernel.cu:396-440)
+        # ---- initial full score (tmscord, kernel.cu:396-440): for
+        # each query SSE i sum the contributions of all pairs (i, k)
+        # over mapped db SSEs l (k = revmap[l]); every pair is counted
+        # twice (at i and at k), and the tableau scores are small
+        # integers, so halving the f32 sum is exact.
         def initscore_body(i, acc):
-            smap_v = ssemap[...]
-            l_i = extract_q(smap_v, i)  # [G, C]
-            rows_t, rows_d = rows_for(l_i)
-            y_t, y_d = gather_maps([rows_t, rows_d])
-            # query column i is shared across entries: one-hot over n1r
-            oh_i = (k_idx() == i).astype(F32)
-            qboth = jnp.dot(gather_q, oh_i, preferred_element_type=F32)
-            qt_i = qboth[:NQ, :]
-            qd_i = qboth[NQ:, :]
-            qhi = jnp.floor(qt_i / 8.0)
-            qlo = qt_i - qhi * 8.0
-            use = ((k_idx() > i) & (smap_v >= 0) & (rep_q(l_i) >= 0)
-                   & (jnp.abs(qd_i - y_d) <= p.mxssed))
-            tsc = unpack_tsc(y_t, qhi, qlo)
-            return acc + seg_sum_q(jnp.where(use, tsc, 0.0))
+            rmap_v = revmap[...]
+            l_i = extract_q(ssemap[...], i)  # [G, C]
+            oh_i = (l_idx() == rep_d(l_i)).astype(F32)
+            pt = jnp.dot(g_tab, oh_i, preferred_element_type=F32)
+            rd = jnp.dot(g_dmat, oh_i, preferred_element_type=F32)
+            ohc = (k_idx() == i).astype(F32)  # [NQ, C]
+            qcol = jnp.dot(g_q, ohc, preferred_element_type=F32)
+            qs_t, qs_d = gather_by_revmap(qcol, rmap_v)
+            qhi = jnp.floor(qs_t / 8.0)
+            qlo = qs_t - qhi * 8.0
+            use = ((rmap_v >= 0) & (rmap_v != i)
+                   & (rep_d(l_i) >= 0)
+                   & (jnp.abs(qs_d - rd) <= p.mxssed))
+            tsc = unpack_tsc(pt, qhi, qlo)
+            return acc + seg_sum_d(jnp.where(use, tsc, 0.0))
 
-        score0 = lax.fori_loop(0, n1, initscore_body,
-                               jnp.zeros((G, C), F32))
-        score[...] = score0.astype(I32)
+        pairsum = lax.fori_loop(0, n1, initscore_body,
+                                jnp.zeros((G, C), F32))
+        score[...] = (pairsum * 0.5).astype(I32)
 
         improved0 = score[...] > maxscore[...]
         maxscore[...] = jnp.where(improved0, score[...], maxscore[...])
-        bestmap[...] = jnp.where(rep_q(jnp.where(improved0, 1, 0)) == 1,
-                                 ssemap[...], bestmap[...])
+        if lsoln:
+            bestmap[...] = jnp.where(
+                rep_q(jnp.where(improved0, 1, 0)) == 1, ssemap[...],
+                bestmap[...])
 
         # ---- annealing loop (kernel.cu:1032-1191)
         def iter_body(it, temp):
@@ -334,45 +366,47 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
             oldj = seg_sum_q(jnp.where(m1, smap_v, 0))  # [G, C]
 
-            # rows for old and new in two stacked dots
-            rt_o, rd_o = rows_for(oldj)
-            rt_n, rd_n = rows_for(newj)
-            rows_t = rt_o * 64.0 + rt_n
-            y_t, y_do, y_dn = gather_maps([rows_t, rd_o, rd_n])
-            y_to = jnp.floor(y_t / 64.0)
-            y_tn = y_t - y_to * 64.0
+            # db-side rows for old and new: the tableau pair packed
+            # into ONE dot (codes < 64), distances in two
+            oh_o = (l_idx() == rep_d(oldj)).astype(F32)
+            oh_n = (l_idx() == rep_d(newj)).astype(F32)
+            pt = jnp.dot(g_tab, oh_o * 64.0 + oh_n,
+                         preferred_element_type=F32)
+            rt_o = jnp.floor(pt / 64.0)
+            rt_n = pt - rt_o * 64.0
+            rd_o = jnp.dot(g_dmat, oh_o, preferred_element_type=F32)
+            rd_n = jnp.dot(g_dmat, oh_n, preferred_element_type=F32)
 
-            qboth = jnp.dot(gather_q, m1f, preferred_element_type=F32)
-            qrow_t = qboth[:NQ, :]
-            qrow_d = qboth[NQ:, :]
-            qhi = jnp.floor(qrow_t / 8.0)
-            qlo = qrow_t - qhi * 8.0
+            # query-side values at (k, ssei), scattered to db rows
+            qcol = jnp.dot(g_q, m1f, preferred_element_type=F32)
+            qs_t, qs_d = gather_by_revmap(qcol, rmap_v)
+            qhi = jnp.floor(qs_t / 8.0)
+            qlo = qs_t - qhi * 8.0
 
-            oldq = rep_q(oldj)
-            newq = rep_q(newj)
-            mbase = (smap_v >= 0) & ~m1
-            t_o = (mbase & (oldq >= 0) & (smap_v != oldq)
-                   & (jnp.abs(qrow_d - y_do) <= p.mxssed))
-            t_n = (mbase & (newq >= 0) & (smap_v != newq)
-                   & (jnp.abs(qrow_d - y_dn) <= p.mxssed))
-            tsc_o = unpack_tsc(y_to, qhi, qlo)
-            tsc_n = unpack_tsc(y_tn, qhi, qlo)
-            delta = seg_sum_q(jnp.where(t_n, tsc_n, 0.0)
-                              - jnp.where(t_o, tsc_o, 0.0))  # [G, C] f32
+            mb = (rmap_v >= 0) & (rmap_v != rep_d(ssei))
+            t_o = (mb & (rep_d(oldj) >= 0)
+                   & (jnp.abs(qs_d - rd_o) <= p.mxssed))
+            t_n = (mb & (rep_d(newj) >= 0)
+                   & (jnp.abs(qs_d - rd_n) <= p.mxssed))
+            tsc_o = unpack_tsc(rt_o, qhi, qlo)
+            tsc_n = unpack_tsc(rt_n, qhi, qlo)
+            delta = seg_sum_d(jnp.where(t_n, tsc_n, 0.0)
+                              - jnp.where(t_o, tsc_o, 0.0))  # [G, C]
             delta_i = delta.astype(I32)
 
             newscore = score[...] + delta_i
             improved = newscore > maxscore[...]
-            impq = rep_q(jnp.where(improved, 1, 0)) == 1
-            moved = jnp.where(m1, newq, smap_v)
             maxscore[...] = jnp.where(improved, newscore, maxscore[...])
-            bestmap[...] = jnp.where(impq, moved, bestmap[...])
+            if lsoln:
+                impq = rep_q(jnp.where(improved, 1, 0)) == 1
+                moved = jnp.where(m1, rep_q(newj), smap_v)
+                bestmap[...] = jnp.where(impq, moved, bestmap[...])
 
             accept = jnp.exp(delta / temp) > u_acc  # [G, C]
             accq = rep_q(jnp.where(accept, 1, 0)) == 1
             accd = rep_d(jnp.where(accept, 1, 0)) == 1
             score[...] = jnp.where(accept, newscore, score[...])
-            ssemap[...] = jnp.where(m1 & accq, newq, smap_v)
+            ssemap[...] = jnp.where(m1 & accq, rep_q(newj), smap_v)
             oldd = rep_d(oldj)
             newd = rep_d(newj)
             rmap_new = jnp.where((l_idx() == oldd) & accd & (oldd >= 0),
@@ -389,20 +423,24 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             act = lanes() < c_par
             ms = jnp.where(act, maxscore[...], NEG - 1)
             best = jnp.max(ms, axis=1, keepdims=True)  # [G, 1]
-            winner = jnp.min(jnp.where(ms == best, lanes(), C), axis=1,
-                             keepdims=True)  # [G, 1]
-            ohw = lanes() == winner  # [G, C]
             outscore_ref[0] = jnp.broadcast_to(best, (G, C))
-            ohwq = rep_q(jnp.where(ohw, 1, 0))
-            outbest_ref[0] = jnp.sum(
-                jnp.where(ohwq == 1, bestmap[...], 0), axis=1,
-                keepdims=True)
+            if lsoln:
+                winner = jnp.min(jnp.where(ms == best, lanes(), C),
+                                 axis=1, keepdims=True)  # [G, 1]
+                ohw = lanes() == winner  # [G, C]
+                ohwq = rep_q(jnp.where(ohw, 1, 0))
+                outbest_ref[0] = jnp.sum(
+                    jnp.where(ohwq == 1, bestmap[...], 0), axis=1,
+                    keepdims=True)
 
     grid = (EG, r_seq)
-    out_shape = (
-        jax.ShapeDtypeStruct((EG, G, C), jnp.int32),
-        jax.ShapeDtypeStruct((EG, NQ, 1), jnp.int32),
-    )
+    out_shape = [jax.ShapeDtypeStruct((EG, G, C), jnp.int32)]
+    out_specs = [pl.BlockSpec((1, G, C), lambda e, r: (e, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if lsoln:
+        out_shape.append(jax.ShapeDtypeStruct((EG, NQ, 1), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, NQ, 1), lambda e, r: (e, 0, 0),
+                                      memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((E,), lambda e, r: (0,),
                      memory_space=pltpu.SMEM),  # n2
@@ -410,10 +448,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                      memory_space=pltpu.SMEM),  # qtypes scalars
         pl.BlockSpec((NQ, 1), lambda e, r: (0, 0),
                      memory_space=pltpu.VMEM),  # qtypes tiled vector
-        pl.BlockSpec((n1r, n1r), lambda e, r: (0, 0),
-                     memory_space=pltpu.VMEM),  # qtabp
-        pl.BlockSpec((n1r, n1r), lambda e, r: (0, 0),
-                     memory_space=pltpu.VMEM),  # qdmat
+        pl.BlockSpec((2 * NQH, NQ), lambda e, r: (0, 0),
+                     memory_space=pltpu.VMEM),  # qb2 (k-major scatter)
         pl.BlockSpec((DQ, 1), lambda e, r: (e, 0),
                      memory_space=pltpu.VMEM),  # types2 flat [E*d2, 1]
         pl.BlockSpec((DQ, d2), lambda e, r: (e, 0),
@@ -428,28 +464,33 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         in_specs.append(pl.BlockSpec((1, 1, PG, C),
                                      lambda e, r: (e, r, 0, 0),
                                      memory_space=pltpu.VMEM))
-    out_specs = (
-        pl.BlockSpec((1, G, C), lambda e, r: (e, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, NQ, 1), lambda e, r: (e, 0, 0),
-                     memory_space=pltpu.VMEM),
-    )
     scratch = [
         pltpu.VMEM((NQ, C), jnp.int32),  # ssemap
         pltpu.VMEM((DQ, C), jnp.int32),  # revmap
         pltpu.VMEM((G, C), jnp.int32),  # score
         pltpu.VMEM((G, C), jnp.int32),  # maxscore
-        pltpu.VMEM((NQ, C), jnp.int32),  # bestmap
-        pltpu.VMEM((PGpad, C), jnp.float32),  # uni
-        pltpu.VMEM((2 * DQ, DQ), jnp.float32),  # bd_db
-        pltpu.VMEM((2 * NQ, NQ), jnp.float32),  # bd_q
     ]
-    return pl.pallas_call(
+    if lsoln:
+        scratch.append(pltpu.VMEM((NQ, C), jnp.int32))  # bestmap
+    scratch += [
+        pltpu.VMEM((PGpad, C), jnp.float32),  # uni
+        pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_tab
+        pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_dmat
+    ]
+    call = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         interpret=interpret,
-    ), G
+    )
+    if lsoln:
+        return call, G
+
+    def call_noln(*args):
+        (scores,) = call(*args)
+        return scores, None
+
+    return call_noln, G

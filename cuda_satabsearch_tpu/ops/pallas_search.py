@@ -318,24 +318,29 @@ def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
 @functools.lru_cache(maxsize=None)
 def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                  lorder: bool, params: SAParams, interpret: bool,
-                 rng_mode: str):
+                 rng_mode: str, lsoln: bool = True):
     """v2 single-dispatch whole-DB search (see _make_db_fn)."""
-    from .pallas_sa2 import choose_group, make_pallas2_bucket_search
+    from .pallas_sa2 import make_pallas2_bucket_search, make_qb2
 
     n1r = round8(n1)
     P = n1 + 3 * params.maxiter
     kerns = {}
     for E, d2 in set(chunk_shapes):
         kerns[(E, d2)] = make_pallas2_bucket_search(
-            E, n1, d2, c_par, r_seq, lorder, params, interpret, rng_mode)
+            E, n1, d2, c_par, r_seq, lorder, params, interpret, rng_mode,
+            lsoln)
 
     def f(seed, tag, qt, qtabp, qdmat, chunk_args):
         outs = []
+        qb2s = {}
         for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
                 chunk_shapes, chunk_args):
             kern, G = kerns[(E, d2)]
-            NQ = G * n1r
-            qtv = jnp.tile(qt.astype(jnp.int32)[:, None], (G, 1))
+            if G not in qb2s:
+                qb2s[G] = (make_qb2(qtabp, qdmat, G),
+                           jnp.tile(qt.astype(jnp.int32)[:, None],
+                                    (G, 1)))
+            qb2, qtv = qb2s[G]
             if rng_mode == "pltpu":
                 rng_in = jnp.concatenate([
                     jnp.asarray(seed, jnp.int32)[None],
@@ -362,13 +367,15 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                 rng_in = (u4.reshape(E // G, G, r_seq, P, C_LANES)
                           .transpose(0, 2, 3, 1, 4)
                           .reshape(E // G, r_seq, P * G, C_LANES))
-            outs.append((kern(n2, qt, qtv, qtabp, qdmat, types2, tab2p,
+            outs.append((kern(n2, qt, qtv, qb2, types2, tab2p,
                               dmat2, rng_in), G))
         # concatenate on device: the drain must be ONE transfer per
         # output, not one per chunk (each D2H costs a full round trip
         # through remote-TPU tunnels)
         scores_flat = jnp.concatenate(
             [S[:, :, 0].reshape(-1) for (S, _M), _G in outs])
+        if not lsoln:
+            return scores_flat, None
         maps_flat = jnp.concatenate(
             [M[:, :, 0].reshape(-1, n1r) for (_S, M), _G in outs])
         return scores_flat, maps_flat
@@ -379,7 +386,8 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
 @functools.lru_cache(maxsize=None)
 def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
                       r_seq: int, lorder: bool, params: SAParams,
-                      interpret: bool, rng_mode: str):
+                      interpret: bool, rng_mode: str,
+                      lsoln: bool = True):
     """Multi-query single-dispatch: lax.scan over a stacked query axis.
 
     The scan body is the whole-DB search of _make_db_fn2 — compiled
@@ -391,7 +399,7 @@ def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
     throughput regardless of kernel speed.
     """
     inner = _make_db_fn2(chunk_shapes, n1, c_par, r_seq, lorder, params,
-                         interpret, rng_mode).__wrapped__
+                         interpret, rng_mode, lsoln).__wrapped__
 
     def f(seed, tags, qts, qtabps, qdmats, chunk_args):
         def body(_, per_q):
@@ -410,9 +418,12 @@ K_TILE = 8  # fixed scan length: one compile covers any batch size
 
 @functools.lru_cache(maxsize=None)
 def _concat_k(ntiles: int):
-    return jax.jit(lambda *parts: (
-        jnp.concatenate([p[0] for p in parts], axis=0),
-        jnp.concatenate([p[1] for p in parts], axis=0)))
+    def f(*parts):
+        scores = jnp.concatenate([p[0] for p in parts], axis=0)
+        if parts[0][1] is None:
+            return scores, None
+        return scores, jnp.concatenate([p[1] for p in parts], axis=0)
+    return jax.jit(f)
 
 
 def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
@@ -420,7 +431,8 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
                               params: SAParams = DEFAULTS,
                               device_db: dict | None = None,
                               interpret: bool = False,
-                              rng_mode: str = "pltpu"):
+                              rng_mode: str = "pltpu",
+                              lsoln: bool = False):
     """Dispatch K same-order queries as a pipeline of fixed-size scan
     tiles (K_TILE queries per device program; the batch is padded by
     replicating the last query under throwaway tags, so ONE compiled
@@ -465,7 +477,7 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
                                ch["size"]))
 
     fn = _make_db_scan_fn2(tuple(shapes), n1, c_par, r_seq, lorder,
-                           params, interpret, rng_mode)
+                           params, interpret, rng_mode, lsoln)
     qts = np.stack(qts)
     qtabps = np.stack(qtabps)
     qdmats = np.stack(qdmats)
@@ -484,7 +496,7 @@ def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     host-side slicing into per-query (scores, maps) in file order."""
     db, n1, n1r, chunk_meta, (scores_k, maps_k), K = handle
     sf_k = np.asarray(scores_k)
-    mf_k = np.asarray(maps_k)
+    mf_k = None if maps_k is None else np.asarray(maps_k)
     results = []
     for qi in range(K):
         scores = np.zeros((db.nentries,), np.int32)
@@ -495,7 +507,8 @@ def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
             sub_idx = bucket.index[start:end]
             valid = sub_idx >= 0
             scores[sub_idx[valid]] = sf_k[qi, off:off + k][valid]
-            maps[sub_idx[valid]] = mf_k[qi, off:off + k, :n1][valid]
+            if mf_k is not None:
+                maps[sub_idx[valid]] = mf_k[qi, off:off + k, :n1][valid]
             off += size
         results.append((scores, maps))
     return results
@@ -507,7 +520,8 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
                         params: SAParams = DEFAULTS,
                         device_db: dict | None = None,
                         interpret: bool = False,
-                        rng_mode: str = "pltpu"):
+                        rng_mode: str = "pltpu",
+                        lsoln: bool = True):
     """v2 twin of dispatch_db_pallas."""
     n1 = query.order
     n1r = round8(n1)
@@ -531,7 +545,7 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
                                ch["size"]))
 
     fn = _make_db_fn2(tuple(shapes), n1, c_par, r_seq, lorder, params,
-                      interpret, rng_mode)
+                      interpret, rng_mode, lsoln)
     outs = fn(seed, query_tag, jnp.asarray(qtypes), jnp.asarray(qtabp),
               jnp.asarray(qdmat), chunk_args)
     return (db, n1, n1r, chunk_meta, outs)
@@ -540,7 +554,7 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
 def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
     db, n1, n1r, chunk_meta, (scores_flat, maps_flat) = handle
     sf = np.asarray(scores_flat)
-    mf = np.asarray(maps_flat)
+    mf = None if maps_flat is None else np.asarray(maps_flat)
     scores = np.zeros((db.nentries,), np.int32)
     maps = np.full((db.nentries, n1), -1, np.int32)
     off = 0
@@ -549,6 +563,7 @@ def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
         sub_idx = bucket.index[start:end]
         valid = sub_idx >= 0
         scores[sub_idx[valid]] = sf[off:off + k][valid]
-        maps[sub_idx[valid]] = mf[off:off + k, :n1][valid]
+        if mf is not None:
+            maps[sub_idx[valid]] = mf[off:off + k, :n1][valid]
         off += size
     return scores, maps

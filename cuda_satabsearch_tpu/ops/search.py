@@ -181,7 +181,7 @@ def search_db(query: PackedQuery, db: PackedDB, *,
               c_max: int = 128, gather_mode: str = "auto",
               params: SAParams = DEFAULTS,
               device_db: dict | None = None, sharding=None,
-              backend: str = "auto") -> SearchResult:
+              backend: str = "auto", lsoln: bool = True) -> SearchResult:
     """Search the whole packed DB; results in database file order."""
     n1 = query.order
     scores = np.zeros((db.nentries,), np.int32)
@@ -194,7 +194,7 @@ def search_db(query: PackedQuery, db: PackedDB, *,
         scores, maps = assemble_db_pallas2(dispatch_db_pallas2(
             query, db, maxstart=maxstart, lorder=lorder, seed=seed,
             query_tag=query_tag, c_max=c_max, params=params,
-            device_db=device_db))
+            device_db=device_db, lsoln=lsoln))
         return SearchResult(scores=scores, ssemaps=maps, names=db.names,
                             orders=db.orders, query_order=n1,
                             maxstart=maxstart)

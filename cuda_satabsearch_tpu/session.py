@@ -91,8 +91,8 @@ class SearchSession:
             return None
         return pack_query(self.db.entry(*loc))
 
-    def search_many(self, queries, *, lorder: bool = True
-                    ) -> list[SearchResult]:
+    def search_many(self, queries, *, lorder: bool = True,
+                    lsoln: bool = False) -> list[SearchResult]:
         """Pipelined multi-query search (Pallas backend): dispatch all
         queries asynchronously, drain once.  Sustains device throughput
         when per-dispatch host latency is significant (remote tunnels,
@@ -122,7 +122,7 @@ class SearchSession:
                 [queries[i] for i in idxs], self.db,
                 maxstart=cfg.maxstart, lorder=lorder, seed=cfg.seed,
                 query_tags=tags, c_max=cfg.c_max, params=cfg.params,
-                device_db=self.device_db)))
+                device_db=self.device_db, lsoln=lsoln)))
         out: list = [None] * len(queries)
         for idxs, h in handles:
             for i, (scores, maps) in zip(idxs,
@@ -134,7 +134,8 @@ class SearchSession:
         return out
 
     def search(self, query: PackedQuery, *, lorder: bool = True,
-               query_tag: int | None = None) -> SearchResult:
+               query_tag: int | None = None,
+               lsoln: bool = True) -> SearchResult:
         cfg = self.config
         if query_tag is None:
             query_tag = self._query_tag
@@ -143,7 +144,8 @@ class SearchSession:
                          lorder=lorder, seed=cfg.seed, query_tag=query_tag,
                          c_max=cfg.c_max, gather_mode=cfg.gather_mode,
                          params=cfg.params, device_db=self.device_db,
-                         sharding=self.sharding, backend=cfg.backend)
+                         sharding=self.sharding, backend=cfg.backend,
+                         lsoln=lsoln)
 
 
 def format_results(result: SearchResult, qn: int, *, lsoln: bool,
