@@ -40,8 +40,14 @@ def main(argv=None) -> int:
         prog="tpusatabsearch-eval",
         description="Per-query ROC AUC from multiquery search output")
     ap.add_argument("results", help="multiquery output file ('-' = stdin)")
-    ap.add_argument("--gold", required=True,
+    ap.add_argument("--gold", default=None,
                     help="gold-standard file: 'queryid pos1 pos2 ...' lines")
+    ap.add_argument("--fischer", default=None, choices=["fold", "class"],
+                    help="use the built-in Fischer-1996 gold standard at "
+                         "fold or class level (rocrfischer.py equivalent)")
+    ap.add_argument("--latex", action="store_true",
+                    help="emit rows as 'qid & auc \\\\' LaTeX table lines "
+                         "(mkauctabrow.sh equivalent)")
     ap.add_argument("--negate", action="store_true",
                     help="negate scores (lower = better input)")
     ap.add_argument("--keep-self", action="store_true",
@@ -50,17 +56,31 @@ def main(argv=None) -> int:
                     help="also print ROC50")
     ap.add_argument("--slrtab-dir", default=None,
                     help="write per-query .slrtab score/label files here")
+    ap.add_argument("--plot-dir", default=None,
+                    help="write per-query ROC curve PNGs (+ pooled "
+                         "coverage-vs-EPQ plot) here — the reference's "
+                         "plotsearchroc.r / fitgumbeldist.r figures")
     args = ap.parse_args(argv)
 
-    gold = load_gold_standard(args.gold)
+    if (args.gold is None) == (args.fischer is None):
+        ap.error("exactly one of --gold / --fischer is required")
+    if args.fischer:
+        from .fischer import fischer_gold
+        gold = fischer_gold(args.fischer)
+    else:
+        gold = load_gold_standard(args.gold)
     fh = sys.stdin if args.results == "-" else open(args.results)
     if args.slrtab_dir:
         os.makedirs(args.slrtab_dir, exist_ok=True)
+    if args.plot_dir:
+        os.makedirs(args.plot_dir, exist_ok=True)
+    pooled_scores, pooled_labels = [], []
 
     total_auc, nq = 0.0, 0
     header = "queryid    nhits  npos  auc" + ("    roc50" if args.roc50
                                               else "")
-    print(header)
+    if not args.latex:
+        print(header)
     for qid, results in iter_multiquery(fh, skip_self=not args.keep_self):
         pos = gold.get(qid.lower())
         if pos is None:
@@ -81,15 +101,38 @@ def main(argv=None) -> int:
                   f"({npos}/{len(labels)} positive), skipped",
                   file=sys.stderr)
             continue
+        if args.plot_dir:
+            from .plots import plot_roc
+            plot_roc({qid: (scores, labels)},
+                     os.path.join(args.plot_dir, f"{qid}_roc.png"),
+                     title=qid)
+            pooled_scores.extend(scores)
+            pooled_labels.extend(labels)
         a = auc(scores, labels)
-        line = f"{qid:<10s} {len(labels):5d} {npos:5d}  {a:.4f}"
-        if args.roc50:
-            line += f"   {roc_n(scores, labels, 50):.4f}"
+        if args.latex:
+            line = f"{qid} & {a:.4f}"
+            if args.roc50:
+                line += f" & {roc_n(scores, labels, 50):.4f}"
+            line += r" \\"
+        else:
+            line = f"{qid:<10s} {len(labels):5d} {npos:5d}  {a:.4f}"
+            if args.roc50:
+                line += f"   {roc_n(scores, labels, 50):.4f}"
         print(line)
         total_auc += a
         nq += 1
     if nq:
-        print(f"# mean AUC over {nq} queries: {total_auc / nq:.4f}")
+        mean = total_auc / nq
+        if args.latex:
+            print(rf"mean & {mean:.4f} \\")
+        else:
+            print(f"# mean AUC over {nq} queries: {mean:.4f}")
+        if args.plot_dir:
+            from .plots import plot_coverage_epq
+            plot_coverage_epq(
+                {"search": (pooled_scores, pooled_labels, nq)},
+                os.path.join(args.plot_dir, "coverage_epq.png"),
+                title=f"Coverage vs errors per query ({nq} queries)")
     return 0
 
 

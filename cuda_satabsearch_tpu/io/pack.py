@@ -24,11 +24,15 @@ from ..core.constants import MAXDIM
 from ..core.codes import TYPE_PAD
 from .parser import TableauEntry
 
-# Default bucket caps.  Must be ascending; the last must be >= MAXDIM.
-# The 8-wide bucket matters: ~35-40% of real DB entries (ASTRAL size
-# mix, median ~10 SSEs) have <= 8 SSEs, and the 8-wide layout packs
-# twice as many entries per kernel grid step as the 16-wide one.
-DEFAULT_BUCKETS = (8, 16, 32, 64, 112)
+# Default bucket caps.  Must be ascending multiples of 8 (the VPU
+# sublane width); the last must be >= MAXDIM.  The 8-wide bucket
+# matters: ~35-40% of real DB entries (ASTRAL size mix, median ~10
+# SSEs) have <= 8 SSEs, and the 8-wide layout packs twice as many
+# entries per kernel grid step as the 16-wide one.  The intermediate
+# caps (24/48/80) cut per-entry padding waste for mid-size entries —
+# SA-kernel row work is proportional to the bucket cap, and e.g. the
+# 17-32-SSE population (mean ~22) mostly fits in 24.
+DEFAULT_BUCKETS = (8, 16, 24, 32, 48, 64, 80, 112)
 
 # Padding value for distance matrices: far beyond MXSSED so a padded lane
 # can never contribute score even if a mask were missed.

@@ -87,13 +87,29 @@ def make_qb2(qtabp: np.ndarray, qdmat: np.ndarray, G: int) -> jnp.ndarray:
                             bot.reshape(n1r * G, G * n1r)], axis=0)
 
 
+def choose_fetch(d2: int) -> str:
+    """Column-fetch strategy for the one-hot tableau/distance reads.
+
+    'bd': one [G*d2, G*d2] block-diagonal MXU dot per column — perfectly
+    MXU-shaped but does G x the useful FLOPs (the off-diagonal blocks
+    are zero).  'gdot': G independent [d2, d2] x [d2, C] dots — G x fewer
+    FLOPs but each small dot underfills the 128-wide systolic array.
+    Measured on the v5e benchmark: gdot wins from d2 >= 16 (the bd dot
+    is quadratic in G*d2); at d2 = 8 the tiny dots are issue-bound and
+    bd's one well-shaped dot wins.
+    """
+    return "bd" if d2 <= 8 else "gdot"
+
+
 @functools.lru_cache(maxsize=None)
 def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                r_seq: int, lorder: bool,
                                params: SAParams = DEFAULTS,
                                interpret: bool = False,
                                rng_mode: str = "supplied",
-                               lsoln: bool = True):
+                               lsoln: bool = True,
+                               fetch: str = "auto",
+                               group: int | None = None):
     """Build the grouped pallas_call for an E-entry chunk (G | E).
 
     Returns fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtypesv_i32[NQ,1],
@@ -109,7 +125,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     maxiter = p.maxiter
     P = n1 + 3 * maxiter
     n1r = round8(n1)
-    G = choose_group(d2, n1r)
+    if fetch == "auto":
+        fetch = choose_fetch(d2)
+    G = min(group if group is not None else choose_group(d2, n1r), E)
     assert E % G == 0, (E, G)
     EG = E // G
     C = C_LANES
@@ -210,12 +228,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     def kernel(*refs):
         (n2_ref, qtypes_ref, qtypesv_ref, qb2_ref, types2_ref,
          tab2p_ref, dmat2_ref, rng_ref, outscore_ref, *rest) = refs
-        if lsoln:
-            (outbest_ref, ssemap, revmap, score, maxscore, bestmap,
-             uni, bd_tab, bd_dmat) = rest
-        else:
-            (ssemap, revmap, score, maxscore, uni, bd_tab,
-             bd_dmat) = rest
+        rest = list(rest)
+        outbest_ref = rest.pop(0) if lsoln else None
+        ssemap, revmap, score, maxscore = rest[:4]
+        rest = rest[4:]
+        bestmap = rest.pop(0) if lsoln else None
+        uni = rest.pop(0)
+        bd_tab, bd_dmat = (rest if fetch == "bd" else (None, None))
 
         eg = pl.program_id(0)
         r = pl.program_id(1)
@@ -225,15 +244,16 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             [jnp.full((1, C), n2_ref[eg * G + g], I32) for g in range(G)],
             axis=0)
 
-        # ---- block-diagonal tables, built once per grid step
-        @pl.when(r == 0)
-        def _():
-            bd_tab[...] = jnp.zeros((DQ, DQ), F32)
-            bd_dmat[...] = jnp.zeros((DQ, DQ), F32)
-            for g in range(G):
-                sl = pl.ds(g * d2, d2)
-                bd_tab[sl, sl] = tab2p_ref[pl.ds(g * d2, d2), :]
-                bd_dmat[sl, sl] = dmat2_ref[pl.ds(g * d2, d2), :]
+        if fetch == "bd":
+            # ---- block-diagonal tables, built once per grid step
+            @pl.when(r == 0)
+            def _():
+                bd_tab[...] = jnp.zeros((DQ, DQ), F32)
+                bd_dmat[...] = jnp.zeros((DQ, DQ), F32)
+                for g in range(G):
+                    sl = pl.ds(g * d2, d2)
+                    bd_tab[sl, sl] = tab2p_ref[pl.ds(g * d2, d2), :]
+                    bd_dmat[sl, sl] = dmat2_ref[pl.ds(g * d2, d2), :]
 
         @pl.when(r == 0)
         def _():
@@ -259,9 +279,35 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             return rng_ref[0, 0, pl.ds(slot * G, nrows * G), :]
 
         types2 = types2_ref[...]  # [DQ, 1]
-        g_tab = bd_tab[...]  # [DQ, DQ]
-        g_dmat = bd_dmat[...]  # [DQ, DQ]
         g_q = qb2_ref[...]  # [2*NQH, NQ]
+        if fetch == "bd":
+            g_tab = bd_tab[...]  # [DQ, DQ]
+            g_dmat = bd_dmat[...]  # [DQ, DQ]
+
+            def fetch_tab(oh):
+                return jnp.dot(g_tab, oh, preferred_element_type=F32)
+
+            def fetch_dmat(oh):
+                return jnp.dot(g_dmat, oh, preferred_element_type=F32)
+        else:
+            # per-entry [d2, d2] x [d2, C] dots: G x fewer MXU FLOPs
+            # than the block-diagonal form (tables are symmetric, so
+            # row-major reads fetch columns)
+            t2v = tab2p_ref[...]  # [DQ, d2] per-entry stacked
+            d2v = dmat2_ref[...]
+
+            def _gdot(mat, oh):
+                outs = [jnp.dot(mat[g * d2:(g + 1) * d2, :],
+                                oh[g * d2:(g + 1) * d2, :],
+                                preferred_element_type=F32)
+                        for g in range(G)]
+                return jnp.concatenate(outs, axis=0)
+
+            def fetch_tab(oh):
+                return _gdot(t2v, oh)
+
+            def fetch_dmat(oh):
+                return _gdot(d2v, oh)
 
         # ---- thinit (kernel.cu:588-648)
         ssemap[...] = jnp.full((NQ, C), -1, I32)
@@ -297,8 +343,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             rmap_v = revmap[...]
             l_i = extract_q(ssemap[...], i)  # [G, C]
             oh_i = (l_idx() == rep_d(l_i)).astype(F32)
-            pt = jnp.dot(g_tab, oh_i, preferred_element_type=F32)
-            rd = jnp.dot(g_dmat, oh_i, preferred_element_type=F32)
+            pt = fetch_tab(oh_i)
+            rd = fetch_dmat(oh_i)
             ohc = (k_idx() == i).astype(F32)  # [NQ, C]
             qcol = jnp.dot(g_q, ohc, preferred_element_type=F32)
             qs_t, qs_d = gather_by_revmap(qcol, rmap_v)
@@ -370,12 +416,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             # into ONE dot (codes < 64), distances in two
             oh_o = (l_idx() == rep_d(oldj)).astype(F32)
             oh_n = (l_idx() == rep_d(newj)).astype(F32)
-            pt = jnp.dot(g_tab, oh_o * 64.0 + oh_n,
-                         preferred_element_type=F32)
+            pt = fetch_tab(oh_o * 64.0 + oh_n)
             rt_o = jnp.floor(pt / 64.0)
             rt_n = pt - rt_o * 64.0
-            rd_o = jnp.dot(g_dmat, oh_o, preferred_element_type=F32)
-            rd_n = jnp.dot(g_dmat, oh_n, preferred_element_type=F32)
+            rd_o = fetch_dmat(oh_o)
+            rd_n = fetch_dmat(oh_n)
 
             # query-side values at (k, ssei), scattered to db rows
             qcol = jnp.dot(g_q, m1f, preferred_element_type=F32)
@@ -472,11 +517,12 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     ]
     if lsoln:
         scratch.append(pltpu.VMEM((NQ, C), jnp.int32))  # bestmap
-    scratch += [
-        pltpu.VMEM((PGpad, C), jnp.float32),  # uni
-        pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_tab
-        pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_dmat
-    ]
+    scratch.append(pltpu.VMEM((PGpad, C), jnp.float32))  # uni
+    if fetch == "bd":
+        scratch += [
+            pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_tab
+            pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_dmat
+        ]
     call = pl.pallas_call(
         kernel,
         grid=grid,

@@ -301,7 +301,13 @@ def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
     chunks = []
     for start, end, _idx in _chunk_plan(n, cs):
         k = end - start
+        # Pad to a multiple of 16 (every possible group size divides
+        # it), EXCEPT small tails: a power of two >= k is divisible by
+        # any group size the kernel will clamp to (G = min(G, E)), and
+        # avoids e.g. running 16 padded entries for a 1-entry tail.
         E = -(-k // MAX_GROUP) * MAX_GROUP
+        if k < MAX_GROUP:
+            E = 1 << (k - 1).bit_length() if k > 1 else 1
         idx = np.concatenate([np.arange(start, end),
                               np.zeros(E - k, np.int64)])
         chunks.append({

@@ -100,3 +100,72 @@ def test_norms():
     assert norm3(10, 1, 8) == 0.0  # 7/8 > 0.75 size difference
     z = empirical_zscores([1.0, 2.0, 3.0])
     assert abs(z[1]) < 1e-12 and z[2] > 0
+
+
+def test_fischer_tables_consistent():
+    from cuda_satabsearch_tpu.eval.fischer import (
+        FISCHER_TABLE, FISCHER_FOLD_IDS, FISCHER_CLASS_IDS, fischer_gold)
+    assert len(FISCHER_TABLE) == 68
+    assert sum(len(v) for v in FISCHER_FOLD_IDS.values()) == 68
+    assert set(FISCHER_CLASS_IDS) == {
+        "alpha", "beta", "alpha/beta", "alpha+beta", "other"}
+    gold_f = fischer_gold("fold")
+    gold_c = fischer_gold("class")
+    for pid in FISCHER_TABLE:
+        assert pid in gold_f[pid]  # self is a positive
+        assert gold_f[pid] <= gold_c[pid]  # fold level refines class
+    assert gold_f["1tie"] == {"1tie", "8i1b"}
+    assert gold_c["2pna"] == {"1fxi_a", "1cew", "1stf_i", "2pna",
+                              "2sar_a", "1onc", "5fd1"}
+
+
+def test_fischer_eval_cli(tmp_path, capsys):
+    from cuda_satabsearch_tpu.eval.__main__ import main as eval_main
+    # synthetic multiquery output: 1tie ranks its fold-mate first
+    res = tmp_path / "out.txt"
+    res.write_text(
+        "# QUERY ID = 1tie\n"
+        "8i1b 9.0\n1arb 3.0\n1mup 2.0\n"
+        "# QUERY ID = 1mdc\n"
+        "1mup 1.0\n8i1b 5.0\n1arb 4.0\n")
+    rc = eval_main([str(res), "--fischer", "fold"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith(("1tie", "1mdc"))]
+    assert "1.0000" in lines[0]  # 1tie: perfect ranking
+    assert "0.0000" in lines[1]  # 1mdc: fold-mate ranked last
+    rc = eval_main([str(res), "--fischer", "fold", "--latex"])
+    out = capsys.readouterr().out
+    assert r"1tie & 1.0000 \\" in out
+    assert r"mean & 0.5000 \\" in out
+
+
+def test_scop_cla_parsing_and_gold(tmp_path):
+    import io
+    from cuda_satabsearch_tpu.eval.scop import (
+        parse_cla, scop_gold, group_by_level, domain_info,
+        sample_query_list)
+    cla = io.StringIO(
+        "# dir.cla.scope.txt\n"
+        "d1ubia_ 1ubi A: d.15.1.1 14982 cl=1,cf=2,sf=3,fa=4\n"
+        "d1fxia_ 1fxi A: d.15.1.1 14983 cl=1,cf=2,sf=3,fa=4\n"
+        "d2faza1 2faz A: d.15.2.1 14984 cl=1,cf=2,sf=5,fa=6\n"
+        "d1arba_ 1arb A: b.47.1.2 20000 cl=7,cf=8,sf=9,fa=10\n"
+        "d2sgaa_ 2sga A: b.47.1.1 20001 cl=7,cf=8,sf=9,fa=11\n")
+    doms = parse_cla(cla)
+    assert len(doms) == 5
+    folds = group_by_level(doms, "fold")
+    assert sorted(folds["d.15"]) == ["d1fxia_", "d1ubia_", "d2faza1"]
+    gold = scop_gold(doms, queries=["d1ubia_"], level="superfamily")
+    assert gold["d1ubia_"] == {"d1ubia_", "d1fxia_"}
+    gold = scop_gold(doms, queries=["d1ubia_"], level="fold",
+                     restrict_to=["d1ubia_", "d1arba_"])
+    assert gold["d1ubia_"] == {"d1ubia_"}
+    info = domain_info(doms, ["d1arba_", "nope"])
+    assert info[0] == "d1arba_ b.47.1.2 b.47 b.47.1"
+    assert info[1].startswith("#")
+    # class-proportional sampling: 3 d-class + 2 b-class, ask for 5
+    q = sample_query_list(doms, 5, seed=1)
+    assert len(q) == 5 and len(set(q)) == 5
+    q2 = sample_query_list(doms, 2, seed=1)
+    assert len(q2) == 2
