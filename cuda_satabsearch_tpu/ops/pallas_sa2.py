@@ -58,13 +58,22 @@ F32 = jnp.float32
 C_LANES = 128
 
 
+# Measured on the real chip (586-entry benchmark, 8-SSE query,
+# scripts/sweep_kernel.py): best (group, fetch) per bucket width.
+# Group is a preference; the factory falls back to the largest
+# power-of-two divisor of E at or below it.
+TUNED_CONFIG = {8: (32, "bd"), 16: (16, "bd"), 24: (16, "gdot"),
+                32: (8, "gdot"), 40: (8, "gdot"), 48: (8, "gdot"),
+                56: (8, "gdot"), 64: (4, "gdot"), 72: (4, "gdot"),
+                80: (2, "gdot"), 88: (2, "gdot"), 96: (2, "gdot"),
+                104: (2, "gdot"), 112: (2, "gdot")}
+
+
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
-    """Entries per grid step.  Measured on v5e (586-entry benchmark,
-    8-SSE query): the 16-wide bucket is fastest at 128 state rows
-    (G=8; the block-diagonal gather dot grows quadratically with the
-    row count, and at 128 rows the VPU/MXU balance is best), while the
-    32/64/112-wide buckets win at ~256 rows (G=8/4/2) where per-op
-    issue overhead amortizes across more entries."""
+    """Entries per grid step (see TUNED_CONFIG; measured on real HW).
+    Falls back to a row-budget formula for widths not in the table."""
+    if cap is None and d2 in TUNED_CONFIG:
+        return TUNED_CONFIG[d2][0]
     w = max(d2, n1r)
     if cap is None:
         cap = 128 if w <= 16 else 256 if w <= 64 else 224
@@ -94,11 +103,13 @@ def choose_fetch(d2: int) -> str:
     MXU-shaped but does G x the useful FLOPs (the off-diagonal blocks
     are zero).  'gdot': G independent [d2, d2] x [d2, C] dots — G x fewer
     FLOPs but each small dot underfills the 128-wide systolic array.
-    Measured on the v5e benchmark: gdot wins from d2 >= 16 (the bd dot
-    is quadratic in G*d2); at d2 = 8 the tiny dots are issue-bound and
-    bd's one well-shaped dot wins.
+    Measured on real HW (scripts/sweep_kernel.py): bd wins for narrow
+    buckets (d2 <= 16, where the per-dot issue cost of G tiny dots
+    dominates), gdot from d2 >= 24 (the bd dot is quadratic in G*d2).
     """
-    return "bd" if d2 <= 8 else "gdot"
+    if d2 in TUNED_CONFIG:
+        return TUNED_CONFIG[d2][1]
+    return "bd" if d2 <= 16 else "gdot"
 
 
 @functools.lru_cache(maxsize=None)
@@ -128,6 +139,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     if fetch == "auto":
         fetch = choose_fetch(d2)
     G = min(group if group is not None else choose_group(d2, n1r), E)
+    while E % G:  # fall back to the largest divisor of E at or below
+        G -= 1   # the tuned preference (chunks are padded to pow2/16x)
     assert E % G == 0, (E, G)
     EG = E // G
     C = C_LANES
