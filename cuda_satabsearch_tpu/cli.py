@@ -121,28 +121,42 @@ def _run(argv=None) -> int:
           f"{session.upload_ms:.1f} ms device upload)", file=err)
     print(f"maxstart = {args.restarts}", file=err)
 
-    for tag, qid in enumerate(qids):
-        if queries is not None:
-            query = queries[tag]
-        else:
+    # resolve query-list ids against the resident DB (the reference's
+    # query-list mode, cudaSaTabsearch.cu:730-788).  NOTE: qn passed to
+    # the stats is the resolved query's order; the reference's query-list
+    # mode indexes the wrong array here (cudaSaTabsearch.cu:997, SURVEY
+    # §3.3) — deliberately fixed, not replicated.
+    resolved: list[tuple[str, object]] = []
+    if queries is not None:
+        resolved = list(zip(qids, queries))
+    else:
+        for qid in qids:
             query = session.resolve_query(qid)
             if query is None:
                 print(f"ERROR: query structure {qid} not found in db",
                       file=err)
                 continue
-        t0 = time.perf_counter()
-        result = session.search(query, lorder=lorder, query_tag=tag)
-        dt = time.perf_counter() - t0
-        iters = (session.nentries * args.restarts
-                 * session.config.params.maxiter)
+            resolved.append((qid, query))
+    if not resolved:
+        return 1 if qids else 0
+
+    # all queries dispatched as one pipeline: device work is enqueued
+    # back-to-back and drained once (the reference amortizes its one-time
+    # DB copy the same way, cudaSaTabsearch.cu:987-1115; here the
+    # per-query drain round trip is the cost being amortized)
+    t0 = time.perf_counter()
+    results = session.search_many([q for _, q in resolved], lorder=lorder,
+                                  lsoln=lsoln)
+    dt = time.perf_counter() - t0
+    for (qid, query), result in zip(resolved, results):
         print_query_header(PROGRAM, ltype, lorder, lsoln, qid, dbfile)
-        # NOTE: qn is the resolved query's order; the reference's query-
-        # list mode indexes the wrong array here (cudaSaTabsearch.cu:997,
-        # SURVEY §3.3) — deliberately fixed, not replicated.
         format_results(result, query.order, lsoln=lsoln,
                        compat_z=config.compat_z)
-        print(f"search time {dt * 1000.0:.3f} ms", file=err)
-        print(f"{iters / dt / 1.0e6:.1f} million iterations/sec", file=err)
+    iters = (session.nentries * args.restarts
+             * session.config.params.maxiter * len(resolved))
+    print(f"search time {dt * 1000.0:.3f} ms "
+          f"({len(resolved)} queries)", file=err)
+    print(f"{iters / dt / 1.0e6:.1f} million iterations/sec", file=err)
     return 0
 
 

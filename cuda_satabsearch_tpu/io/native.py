@@ -123,8 +123,10 @@ def pack_database_file(path: str, buckets: tuple = DEFAULT_BUCKETS,
                               (cnt, cap, cap), np.int8)
             types = _as_array(lib.satab_bucket_types(h, b),
                               (cnt, cap), np.int8)
-            dmat = _as_array(lib.satab_bucket_dmat(h, b),
-                             (cnt, cap, cap), np.float32)
+            from .pack import quantize_dmat
+
+            dmat = quantize_dmat(_as_array(lib.satab_bucket_dmat(h, b),
+                                           (cnt, cap, cap), np.float32))
             orders = _as_array(lib.satab_bucket_orders(h, b),
                                (cnt,), np.int32)
             index = _as_array(lib.satab_bucket_index(h, b),

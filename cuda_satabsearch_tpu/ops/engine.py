@@ -40,6 +40,29 @@ I32 = jnp.int32
 F32 = jnp.float32
 
 
+def log_acc_slots(uniforms, n1: int, axis: int = 0):
+    """Transform the Metropolis-acceptance slots of a uniform stream to
+    their natural log, in place of the raw uniform.
+
+    The acceptance test is then ``delta > temp * ln_u`` — pure mul/
+    compare arithmetic, which is bit-identical across NumPy, XLA:CPU,
+    XLA:TPU, and Mosaic — instead of ``exp(delta/temp) > u``, whose
+    exp lowering differs by ulps between backends and flips boundary
+    decisions (mathematically the two forms are equivalent; the
+    reference itself uses approximate expf via --use_fast_math,
+    Makefile:51).  Slot layout: per restart, slots [0, n1) feed thinit
+    and slot n1 + 3*it + 2 is the acceptance draw of iteration it
+    (golden.py docstring).  ln(0) = -inf accepts unconditionally,
+    matching exp(x) > 0.
+    """
+    P = uniforms.shape[axis]
+    idx = jnp.arange(P)
+    is_acc = (idx >= n1) & ((idx - n1) % 3 == 2)
+    shape = [1] * uniforms.ndim
+    shape[axis] = P
+    return jnp.where(is_acc.reshape(shape), jnp.log(uniforms), uniforms)
+
+
 def _tscord(qh, ql, th, tl):
     """Vector tableau pair score (+2 both halves equal / +1 one / -2 none),
     kernel.cu:306-332."""
@@ -219,7 +242,9 @@ def make_entry_search(n1: int, d2: int, c_par: int, r_seq: int,
             bestmap = jnp.where(improved[None, :], moved_map, bestmap)
 
             # --- Metropolis acceptance (kernel.cu:1166-1187) ---
-            accept = jnp.exp(delta.astype(F32) / temp) > u_acc
+            # log-domain acceptance (u_acc slot carries ln(u); see
+            # log_acc_slots): pure arithmetic, backend-bitwise-stable
+            accept = delta.astype(F32) > temp * u_acc
             score = jnp.where(accept, newscore, score)
             ssemap = jnp.where((iota1 == ssei[None, :]) & accept[None, :],
                                newj[None, :], ssemap)
@@ -235,7 +260,8 @@ def make_entry_search(n1: int, d2: int, c_par: int, r_seq: int,
         def restart_body(restart, carry):
             maxscore, bestmap = carry
             key_r = jax.random.fold_in(key, restart)
-            uniforms = jax.random.uniform(key_r, (per_restart, C), dtype=F32)
+            uniforms = log_acc_slots(
+                jax.random.uniform(key_r, (per_restart, C), dtype=F32), n1)
             ssemap = jnp.full((n1, C), -1, I32)
             revmap = jnp.full((d2, C), -1, I32)
             j0 = jnp.zeros((C,), I32)

@@ -202,7 +202,12 @@ def sa_chain(query, db, lorder: bool, nrestarts: int,
                 if lsoln:
                     bestmap[:] = ssemap
                     bestmap[ssei] = newj if newj > -1 else -1
-            if np.exp(F32(delta) / temp, dtype=F32) > F32(u_acc):
+            # acceptance in log domain: the accept slot carries ln(u)
+            # (see engine.py log_acc_slots) so the test is pure f32
+            # arithmetic — bit-identical across NumPy, XLA, and Mosaic,
+            # unlike exp/log lowerings.  Equivalent to the reference's
+            # expf(delta/temp) > u (kernel.cu:1166).
+            if F32(delta) > temp * F32(u_acc):
                 score = newscore
                 if newj > -1:
                     ssemap[ssei] = newj

@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.constants import SAParams, DEFAULTS
+from .engine import log_acc_slots
 
 I32 = jnp.int32
 F32 = jnp.float32
@@ -339,11 +340,15 @@ def make_pallas_bucket_search(E: int, n1: int, d2: int, c_par: int,
             maxscore[...] = jnp.where(improved, newscore, maxscore[...])
             bestmap[...] = jnp.where(improved, moved, bestmap[...])
 
-            # ---- Metropolis acceptance (kernel.cu:1166-1187)
+            # ---- Metropolis acceptance (kernel.cu:1166-1187) in the
+            # log domain: the accept slot carries ln(u) (supplied mode:
+            # engine.log_acc_slots; pltpu mode: log applied in-kernel),
+            # so the test is backend-bitwise-stable arithmetic.
             if _ablate == "noexp":
                 accept = delta / temp > u_acc
             else:
-                accept = jnp.exp(delta / temp) > u_acc  # [1, C]
+                lacc = u_acc if rng_mode == "supplied" else jnp.log(u_acc)
+                accept = delta > temp * lacc  # [1, C]
             score[...] = jnp.where(accept, newscore, score[...])
             ssemap[...] = jnp.where(m1 & accept, newj, smap_v)
             rmap_new = jnp.where((_iota2() == oldj) & accept & (oldj >= 0),
@@ -446,12 +451,16 @@ def prepare_query(query, n1r: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_uniforms_jit(r_seq: int, P: int, c_par: int):
+def _make_uniforms_jit(r_seq: int, P: int, c_par: int,
+                       n1: int | None = None):
+    if n1 is None:
+        n1 = P - 3 * DEFAULTS.maxiter  # slot schedule: P = n1 + 3*maxiter
     def gen(keys):
         def per_entry(key):
             def per_restart(r):
                 u = jax.random.uniform(jax.random.fold_in(key, r),
                                        (P, c_par), dtype=jnp.float32)
+                u = log_acc_slots(u, n1)  # accept slots -> ln(u)
                 if c_par < C_LANES:
                     u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
                 return u
@@ -468,6 +477,9 @@ def make_uniforms(keys, r_seq: int, P: int, c_par: int = C_LANES):
     (ops/engine.py restart_body), so kernel, engine, and golden model
     consume identical randomness for any chain count.  Lanes beyond
     c_par are zero-padded; the kernel masks those chains out.
+
+    The Metropolis-acceptance slots carry ln(u), not u (see
+    engine.log_acc_slots).
 
     jitted and cached per shape: an eager nested vmap would RETRACE on
     every call (~100 ms of pure Python per search chunk)."""

@@ -55,6 +55,7 @@ from .pallas_sa import round8
 
 I32 = jnp.int32
 F32 = jnp.float32
+BF16 = jnp.bfloat16  # MXU-native; exact for one-hots and codes <= 256
 C_LANES = 128
 
 
@@ -71,29 +72,40 @@ TUNED_CONFIG = {8: (32, "bd"), 16: (16, "bd"), 24: (16, "gdot"),
 
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
     """Entries per grid step (see TUNED_CONFIG; measured on real HW).
-    Falls back to a row-budget formula for widths not in the table."""
+    Falls back to a row-budget formula for widths not in the table.
+
+    Always bounded so the query-side state stays VMEM-sized: the qb2
+    scatter matrices are [G*n1r, G*n1r] and the supplied-mode uniforms
+    [(n1+300)*G, 128] — both blow up with G for large queries."""
+    qcap = 512 // n1r  # G*n1r <= 512 rows
+    gmax = 1
+    while gmax * 2 <= qcap:
+        gmax *= 2
     if cap is None and d2 in TUNED_CONFIG:
-        return TUNED_CONFIG[d2][0]
+        return max(1, min(TUNED_CONFIG[d2][0], gmax))
     w = max(d2, n1r)
     if cap is None:
         cap = 128 if w <= 16 else 256 if w <= 64 else 224
     g = 1
     while 2 * g * w <= cap and 2 * g <= 16:
         g *= 2
-    return g
+    return max(1, min(g, gmax))
 
 
-def make_qb2(qtabp: np.ndarray, qdmat: np.ndarray, G: int) -> jnp.ndarray:
-    """Build the k-major scattered query matrix [2*n1r*G, G*n1r]:
-    top half qb2[k*G + g, g*n1r + i] = qtabp[k, i], bottom half the
-    same scatter of qdmat.  dot(qb2, onehot[(g,i) == (g, ssei_g)])
-    then yields rows (k, g) = qtab[k, ssei_g] / qdmat[k, ssei_g]."""
+def make_qb2(qtabp: np.ndarray, qdmat: np.ndarray, G: int):
+    """Build the k-major scattered query matrices [n1r*G, G*n1r]:
+    qb2t[k*G + g, g*n1r + i] = qtabp[k, i] (bf16 — packed codes <= 63
+    are exact, so the one-hot fetch dot is exact in ONE MXU pass) and
+    qb2d = the same scatter of qdmat (also bf16: distances are
+    bf16-quantized at pack time, io/pack.py quantize_dmat, so the
+    single-pass dot is exact too).  dot(qb2x, onehot[(g,i) ==
+    (g, ssei_g)]) yields rows (k, g) = qtab/qdmat[k, ssei_g]."""
     eye = jnp.eye(G, dtype=F32)
     top = jnp.einsum("ki,gh->kghi", jnp.asarray(qtabp, F32), eye)
     bot = jnp.einsum("ki,gh->kghi", jnp.asarray(qdmat, F32), eye)
     n1r = qtabp.shape[0]
-    return jnp.concatenate([top.reshape(n1r * G, G * n1r),
-                            bot.reshape(n1r * G, G * n1r)], axis=0)
+    return (top.reshape(n1r * G, G * n1r).astype(BF16),
+            bot.reshape(n1r * G, G * n1r).astype(BF16))
 
 
 def choose_fetch(d2: int) -> str:
@@ -120,17 +132,23 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                rng_mode: str = "supplied",
                                lsoln: bool = True,
                                fetch: str = "auto",
-                               group: int | None = None):
+                               group: int | None = None,
+                               cum: str = "auto"):
     """Build the grouped pallas_call for an E-entry chunk (G | E).
 
     Returns fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtypesv_i32[NQ,1],
-               qb2_f32[2*n1r*G, NQ], types2_i32[E*d2, 1],
+               qb2t_bf16[n1r*G, NQ], qb2d_bf16[n1r*G, NQ],
+               types2_i32[E*d2, 1],
                tab2p_f32[E*d2, d2], dmat2_f32[E*d2, d2], rng_input)
          -> (scores_i32[E//G, G, C], bestmaps_i32[E//G, G*n1r, 1])
             (bestmaps only when lsoln)
 
     rng_input: uniforms_f32[E//G, r_seq, P*G, C] (slot-major) for
     "supplied"; (seed, tag, indices[E]) int32[2+E] (SMEM) for "pltpu".
+
+    ``cum``: candidate-rank cumulative sum — "mxu" contracts the 0/1
+    candidate mask with a lower-triangular ones matrix (exact in bf16:
+    counts <= d2), "roll" uses log2(d2) masked-roll VPU steps.
     """
     p = params
     maxiter = p.maxiter
@@ -138,6 +156,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     n1r = round8(n1)
     if fetch == "auto":
         fetch = choose_fetch(d2)
+    if cum == "auto":
+        cum = "mxu" if d2 >= 24 else "roll"
     G = min(group if group is not None else choose_group(d2, n1r), E)
     while E % G:  # fall back to the largest divisor of E at or below
         G -= 1   # the tuned preference (chunks are padded to pow2/16x)
@@ -208,28 +228,38 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             s *= 2
         return x
 
-    def gather_by_revmap(qcol, rmap_v):
-        """qs[p, c] = qcol[(revmap[p, c], g(p)), c] for both halves:
-        the query-side row/distance of the SSE each mapped db SSE is
-        matched to.  Rows with revmap < 0 keep 0 (callers gate)."""
-        def body(k, carry, static=False):
-            qs_t, qs_d = carry
-            if static:
-                qv_t = qcol[k * G:(k + 1) * G]
-                qv_d = qcol[NQH + k * G:NQH + (k + 1) * G]
-            else:
-                qv_t = lax.dynamic_slice_in_dim(qcol, k * G, G, 0)
-                qv_d = lax.dynamic_slice_in_dim(qcol, NQH + k * G, G, 0)
-            m = rmap_v == k
-            return (jnp.where(m, rep_d(qv_t), qs_t),
-                    jnp.where(m, rep_d(qv_d), qs_d))
+    def make_gather_by_revmap(qct_s, qcd_s):
+        """Build the revmap gather: qs[p, c] = qc[(revmap[p, c], g(p)), c]
+        — the query-side code/distance of the SSE each mapped db SSE is
+        matched to.  Rows with revmap < 0 keep 0 (callers gate).
 
-        carry = (jnp.zeros((DQ, C), F32), jnp.zeros((DQ, C), F32))
-        if kloop_unroll:
-            for k in range(n1):
-                carry = body(k, carry, static=True)
-            return carry
-        return lax.fori_loop(0, n1, body, carry)
+        For small n1 the k loop unrolls with static value slices; for
+        large n1 it stays a fori_loop reading [G, C] slices from the
+        qct_s/qcd_s scratch refs (Mosaic cannot lower dynamic_slice on
+        a VALUE inside a loop, only dynamic ref indexing)."""
+        def gather(qct, qcd, rmap_v):
+            def body(k, carry):
+                qs_t, qs_d = carry
+                qv_t = qct_s[pl.ds(k * G, G), :]
+                qv_d = qcd_s[pl.ds(k * G, G), :]
+                m = rmap_v == k
+                return (jnp.where(m, rep_d(qv_t), qs_t),
+                        jnp.where(m, rep_d(qv_d), qs_d))
+
+            carry = (jnp.zeros((DQ, C), F32), jnp.zeros((DQ, C), F32))
+            if kloop_unroll:
+                for k in range(n1):
+                    m = rmap_v == k
+                    carry = (jnp.where(m, rep_d(qct[k * G:(k + 1) * G]),
+                                       carry[0]),
+                             jnp.where(m, rep_d(qcd[k * G:(k + 1) * G]),
+                                       carry[1]))
+                return carry
+            qct_s[...] = qct
+            qcd_s[...] = qcd
+            return lax.fori_loop(0, n1, body, carry)
+
+        return gather
 
     def unpack_tsc(packed, qhi, qlo):
         dhi = jnp.floor(packed / 8.0)
@@ -239,7 +269,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         return jnp.where(he & le, 2.0, jnp.where(he | le, 1.0, -2.0))
 
     def kernel(*refs):
-        (n2_ref, qtypes_ref, qtypesv_ref, qb2_ref, types2_ref,
+        (n2_ref, qtypes_ref, qtypesv_ref, qb2t_ref, qb2d_ref, types2_ref,
          tab2p_ref, dmat2_ref, rng_ref, outscore_ref, *rest) = refs
         rest = list(rest)
         outbest_ref = rest.pop(0) if lsoln else None
@@ -247,7 +277,15 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         rest = rest[4:]
         bestmap = rest.pop(0) if lsoln else None
         uni = rest.pop(0)
-        bd_tab, bd_dmat = (rest if fetch == "bd" else (None, None))
+        qct_s = qcd_s = None
+        if not kloop_unroll:
+            qct_s = rest.pop(0)
+            qcd_s = rest.pop(0)
+        bd_tab = bd_dmat = None
+        if fetch == "bd":
+            bd_tab = rest.pop(0)
+            bd_dmat = rest.pop(0)
+        tril = rest.pop(0) if cum == "mxu" else None
 
         eg = pl.program_id(0)
         r = pl.program_id(1)
@@ -257,16 +295,30 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             [jnp.full((1, C), n2_ref[eg * G + g], I32) for g in range(G)],
             axis=0)
 
+        if cum == "mxu":
+            # lower-triangular ones (block-diagonal for 'bd'), built once
+            @pl.when(jnp.logical_and(eg == 0, r == 0))
+            def _():
+                shape = tril.shape  # bd: [DQ, DQ]; gdot: [DQ, d2]
+                ri = lax.broadcasted_iota(I32, shape, 0)
+                ci = lax.broadcasted_iota(I32, shape, 1)
+                cond = (ri % d2) >= (ci % d2)
+                if shape[1] == shape[0]:  # block-diagonal form
+                    cond = cond & ((ri // d2) == (ci // d2))
+                tril[...] = jnp.where(cond, 1.0, 0.0).astype(BF16)
+
         if fetch == "bd":
             # ---- block-diagonal tables, built once per grid step
             @pl.when(r == 0)
             def _():
-                bd_tab[...] = jnp.zeros((DQ, DQ), F32)
-                bd_dmat[...] = jnp.zeros((DQ, DQ), F32)
+                bd_tab[...] = jnp.zeros((DQ, DQ), BF16)
+                bd_dmat[...] = jnp.zeros((DQ, DQ), BF16)
                 for g in range(G):
                     sl = pl.ds(g * d2, d2)
-                    bd_tab[sl, sl] = tab2p_ref[pl.ds(g * d2, d2), :]
-                    bd_dmat[sl, sl] = dmat2_ref[pl.ds(g * d2, d2), :]
+                    bd_tab[sl, sl] = tab2p_ref[pl.ds(g * d2, d2),
+                                               :].astype(BF16)
+                    bd_dmat[sl, sl] = dmat2_ref[pl.ds(g * d2, d2),
+                                                :].astype(BF16)
 
         @pl.when(r == 0)
         def _():
@@ -292,12 +344,14 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             return rng_ref[0, 0, pl.ds(slot * G, nrows * G), :]
 
         types2 = types2_ref[...]  # [DQ, 1]
-        g_q = qb2_ref[...]  # [2*NQH, NQ]
+        g_qt = qb2t_ref[...]  # [NQH, NQ] bf16 (codes: exact)
+        g_qd = qb2d_ref[...]  # [NQH, NQ] bf16 (distances: exact — they
+        # are bf16-quantized at pack time, io/pack.py quantize_dmat)
         if fetch == "bd":
-            g_tab = bd_tab[...]  # [DQ, DQ]
-            g_dmat = bd_dmat[...]  # [DQ, DQ]
+            g_tab = bd_tab[...]  # [DQ, DQ] bf16
+            g_dmat = bd_dmat[...]  # [DQ, DQ] bf16
 
-            def fetch_tab(oh):
+            def fetch_tab(oh):  # oh bf16; codes <= 4095 exact in f32 acc
                 return jnp.dot(g_tab, oh, preferred_element_type=F32)
 
             def fetch_dmat(oh):
@@ -306,8 +360,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             # per-entry [d2, d2] x [d2, C] dots: G x fewer MXU FLOPs
             # than the block-diagonal form (tables are symmetric, so
             # row-major reads fetch columns)
-            t2v = tab2p_ref[...]  # [DQ, d2] per-entry stacked
-            d2v = dmat2_ref[...]
+            t2v = tab2p_ref[...].astype(BF16)  # [DQ, d2] per-entry stacked
+            d2v = dmat2_ref[...].astype(BF16)
 
             def _gdot(mat, oh):
                 outs = [jnp.dot(mat[g * d2:(g + 1) * d2, :],
@@ -321,6 +375,28 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
             def fetch_dmat(oh):
                 return _gdot(d2v, oh)
+
+        def fetch_dmat_pair(oh_a, oh_b):
+            """Both distance columns in ONE (wider) dot, halving the
+            fetch issue count."""
+            both = fetch_dmat(jnp.concatenate([oh_a, oh_b], axis=1))
+            return both[:, :C], both[:, C:]
+
+        def cum_seg(candf):
+            """Inclusive per-segment cumulative count of the 0/1
+            candidate mask (the rank each candidate would have)."""
+            if cum == "mxu":
+                cf = candf.astype(BF16)
+                if fetch == "bd":
+                    return jnp.dot(tril[...], cf,
+                                   preferred_element_type=F32)
+                t = tril[...]
+                outs = [jnp.dot(t[g * d2:(g + 1) * d2, :],
+                                cf[g * d2:(g + 1) * d2, :],
+                                preferred_element_type=F32)
+                        for g in range(G)]
+                return jnp.concatenate(outs, axis=0)
+            return prefix_sum_seg(candf)
 
         # ---- thinit (kernel.cu:588-648)
         ssemap[...] = jnp.full((NQ, C), -1, I32)
@@ -352,15 +428,20 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         # over mapped db SSEs l (k = revmap[l]); every pair is counted
         # twice (at i and at k), and the tableau scores are small
         # integers, so halving the f32 sum is exact.
+        gather_by_revmap = make_gather_by_revmap(qct_s, qcd_s)
+
         def initscore_body(i, acc):
             rmap_v = revmap[...]
             l_i = extract_q(ssemap[...], i)  # [G, C]
-            oh_i = (l_idx() == rep_d(l_i)).astype(F32)
-            pt = fetch_tab(oh_i)
-            rd = fetch_dmat(oh_i)
-            ohc = (k_idx() == i).astype(F32)  # [NQ, C]
-            qcol = jnp.dot(g_q, ohc, preferred_element_type=F32)
-            qs_t, qs_d = gather_by_revmap(qcol, rmap_v)
+            oh_i = l_idx() == rep_d(l_i)
+            pt = fetch_tab(oh_i.astype(BF16))
+            rd = fetch_dmat(oh_i.astype(BF16))
+            ohc = k_idx() == i  # [NQ, C]
+            qct = jnp.dot(g_qt, ohc.astype(BF16),
+                          preferred_element_type=F32)
+            qcd = jnp.dot(g_qd, ohc.astype(BF16),
+                          preferred_element_type=F32)
+            qs_t, qs_d = gather_by_revmap(qct, qcd, rmap_v)
             qhi = jnp.floor(qs_t / 8.0)
             qlo = qs_t - qhi * 8.0
             use = ((rmap_v >= 0) & (rmap_v != i)
@@ -419,25 +500,30 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             candf = cand.astype(F32)
             count = seg_sum_d(candf)  # [G, C]
             rpick = ((u_cand - p.eps) * count).astype(I32)
-            cum = prefix_sum_seg(candf).astype(I32)
+            cum = cum_seg(candf).astype(I32)
             hit = cand & (cum == rep_d(rpick) + 1)
             newj = seg_max_d(jnp.where(hit, l_idx(), -1))  # [G, C]
 
             oldj = seg_sum_q(jnp.where(m1, smap_v, 0))  # [G, C]
 
             # db-side rows for old and new: the tableau pair packed
-            # into ONE dot (codes < 64), distances in two
-            oh_o = (l_idx() == rep_d(oldj)).astype(F32)
-            oh_n = (l_idx() == rep_d(newj)).astype(F32)
-            pt = fetch_tab(oh_o * 64.0 + oh_n)
+            # into ONE bf16 dot (64*old + new <= 4095, exact), the two
+            # f32 distance columns fused into one wide dot
+            oh_o = l_idx() == rep_d(oldj)
+            oh_n = l_idx() == rep_d(newj)
+            pt = fetch_tab(oh_o.astype(BF16) * BF16(64)
+                           + oh_n.astype(BF16))
             rt_o = jnp.floor(pt / 64.0)
             rt_n = pt - rt_o * 64.0
-            rd_o = fetch_dmat(oh_o)
-            rd_n = fetch_dmat(oh_n)
+            rd_o, rd_n = fetch_dmat_pair(oh_o.astype(BF16),
+                                         oh_n.astype(BF16))
 
             # query-side values at (k, ssei), scattered to db rows
-            qcol = jnp.dot(g_q, m1f, preferred_element_type=F32)
-            qs_t, qs_d = gather_by_revmap(qcol, rmap_v)
+            qct = jnp.dot(g_qt, m1f.astype(BF16),
+                          preferred_element_type=F32)
+            qcd = jnp.dot(g_qd, m1f.astype(BF16),
+                          preferred_element_type=F32)
+            qs_t, qs_d = gather_by_revmap(qct, qcd, rmap_v)
             qhi = jnp.floor(qs_t / 8.0)
             qlo = qs_t - qhi * 8.0
 
@@ -460,7 +546,12 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 moved = jnp.where(m1, rep_q(newj), smap_v)
                 bestmap[...] = jnp.where(impq, moved, bestmap[...])
 
-            accept = jnp.exp(delta / temp) > u_acc  # [G, C]
+            # log-domain acceptance: the accept slot carries ln(u)
+            # (supplied mode: engine.log_acc_slots at generation; pltpu
+            # mode: log here) — pure arithmetic, so Mosaic and XLA
+            # agree bitwise, unlike their exp lowerings
+            lacc = u_acc if rng_mode == "supplied" else jnp.log(u_acc)
+            accept = delta > temp * lacc  # [G, C]
             accq = rep_q(jnp.where(accept, 1, 0)) == 1
             accd = rep_d(jnp.where(accept, 1, 0)) == 1
             score[...] = jnp.where(accept, newscore, score[...])
@@ -506,8 +597,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                      memory_space=pltpu.SMEM),  # qtypes scalars
         pl.BlockSpec((NQ, 1), lambda e, r: (0, 0),
                      memory_space=pltpu.VMEM),  # qtypes tiled vector
-        pl.BlockSpec((2 * NQH, NQ), lambda e, r: (0, 0),
-                     memory_space=pltpu.VMEM),  # qb2 (k-major scatter)
+        pl.BlockSpec((NQH, NQ), lambda e, r: (0, 0),
+                     memory_space=pltpu.VMEM),  # qb2t (codes, bf16)
+        pl.BlockSpec((NQH, NQ), lambda e, r: (0, 0),
+                     memory_space=pltpu.VMEM),  # qb2d (distances, f32)
         pl.BlockSpec((DQ, 1), lambda e, r: (e, 0),
                      memory_space=pltpu.VMEM),  # types2 flat [E*d2, 1]
         pl.BlockSpec((DQ, d2), lambda e, r: (e, 0),
@@ -531,11 +624,19 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     if lsoln:
         scratch.append(pltpu.VMEM((NQ, C), jnp.int32))  # bestmap
     scratch.append(pltpu.VMEM((PGpad, C), jnp.float32))  # uni
+    if not kloop_unroll:
+        scratch += [
+            pltpu.VMEM((NQH, C), jnp.float32),  # qct_s (revmap gather)
+            pltpu.VMEM((NQH, C), jnp.float32),  # qcd_s
+        ]
     if fetch == "bd":
         scratch += [
-            pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_tab
-            pltpu.VMEM((DQ, DQ), jnp.float32),  # bd_dmat
+            pltpu.VMEM((DQ, DQ), BF16),  # bd_tab
+            pltpu.VMEM((DQ, DQ), BF16),  # bd_dmat
         ]
+    if cum == "mxu":
+        scratch.append(pltpu.VMEM(
+            (DQ, DQ if fetch == "bd" else d2), BF16))  # tril ones
     call = pl.pallas_call(
         kernel,
         grid=grid,

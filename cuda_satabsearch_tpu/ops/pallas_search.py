@@ -20,6 +20,7 @@ import numpy as np
 
 from ..core.constants import SAParams, DEFAULTS
 from ..io.pack import PackedBucket, PackedQuery
+from .engine import log_acc_slots
 from .pallas_sa import (C_LANES, make_pallas_bucket_search, pack_tab,
                         prepare_query, round8)
 from .search import choose_chains
@@ -61,6 +62,7 @@ def _make_chunk_fn(E: int, n1: int, d2: int, c_par: int, r_seq: int,
             def per_restart(r):
                 u = jax.random.uniform(jax.random.fold_in(key, r),
                                        (P, c_par), dtype=jnp.float32)
+                u = log_acc_slots(u, n1)  # accept slots -> ln(u)
                 if c_par < C_LANES:
                     u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
                 return u
@@ -195,6 +197,7 @@ def _make_db_fn(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                         u = jax.random.uniform(
                             jax.random.fold_in(key, r), (P, c_par),
                             dtype=jnp.float32)
+                        u = log_acc_slots(u, n1)
                         if c_par < C_LANES:
                             u = jnp.pad(u,
                                         ((0, 0), (0, C_LANES - c_par)))
@@ -280,61 +283,156 @@ MAX_GROUP = 16  # pallas_sa2.choose_group upper bound; chunk sizes must
 
 
 def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
-                           chunk_entries: int = CHUNK_ENTRIES) -> dict:
+                           chunk_entries: int = CHUNK_ENTRIES,
+                           mesh=None) -> dict:
     """v2-layout bucket arrays pre-sliced into padded chunks: tables
     stacked flat as [E*d2, d2] so a grid block (G*d2, d2) covers a
     whole entry group.  Every chunk is padded to a multiple of
     MAX_GROUP (padding rows replicate entry 0 and are dropped at
-    assembly)."""
+    assembly).
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), chunks are padded to a
+    multiple of MAX_GROUP * mesh.size and every entry-axis array is
+    placed sharded across the mesh (the analog of the reference's
+    one-time DB copy, but SPMD: each chip holds 1/n of the entries)."""
     n = bucket.size
     d2 = bucket.dim
-    cs = min(chunk_entries, -(-max(n, 1) // MAX_GROUP) * MAX_GROUP)
+    quantum = MAX_GROUP * (mesh.size if mesh is not None else 1)
+    cs = min(-(-chunk_entries // quantum) * quantum,
+             -(-max(n, 1) // quantum) * quantum)
     tab2p_full = pack_tab(bucket.tabhi, bucket.tablo)
     types_full = bucket.types.astype(np.int32)
     dmat_full = bucket.dmat.astype(np.float32)
     orders_full = bucket.orders.astype(np.int32)
 
-    def put(x):
-        x = jnp.asarray(x)
-        return jax.device_put(x, device) if device is not None else x
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        s1 = NamedSharding(mesh, P(ax))
+        s2 = NamedSharding(mesh, P(ax, None))
+
+        def put1(x):  # entry axis leading, 1-D
+            return jax.device_put(jnp.asarray(x), s1)
+
+        def put2(x):  # entry-major rows, 2-D
+            return jax.device_put(jnp.asarray(x), s2)
+    else:
+        def put1(x):
+            x = jnp.asarray(x)
+            return jax.device_put(x, device) if device is not None else x
+
+        put2 = put1
 
     chunks = []
     for start, end, _idx in _chunk_plan(n, cs):
         k = end - start
-        # Pad to a multiple of 16 (every possible group size divides
-        # it), EXCEPT small tails: a power of two >= k is divisible by
-        # any group size the kernel will clamp to (G = min(G, E)), and
-        # avoids e.g. running 16 padded entries for a 1-entry tail.
-        E = -(-k // MAX_GROUP) * MAX_GROUP
-        if k < MAX_GROUP:
+        # Pad to a multiple of the quantum (every possible group size
+        # divides it), EXCEPT small tails on a single device: a power
+        # of two >= k is divisible by any group size the kernel will
+        # clamp to (G = min(G, E)), and avoids e.g. running 16 padded
+        # entries for a 1-entry tail.
+        E = -(-k // quantum) * quantum
+        if mesh is None and k < MAX_GROUP:
             E = 1 << (k - 1).bit_length() if k > 1 else 1
         idx = np.concatenate([np.arange(start, end),
                               np.zeros(E - k, np.int64)])
         chunks.append({
             "start": start, "end": end, "size": E,
-            "indices": put(bucket.index[idx].astype(np.uint32)),
-            "n2": put(orders_full[idx]),
-            "types2": put(types_full[idx].reshape(E * d2, 1)),
-            "tab2p": put(tab2p_full[idx].reshape(E * d2, d2)),
-            "dmat2": put(dmat_full[idx].reshape(E * d2, d2)),
+            "indices": put1(bucket.index[idx].astype(np.uint32)),
+            "n2": put1(orders_full[idx]),
+            "types2": put2(types_full[idx].reshape(E * d2, 1)),
+            "tab2p": put2(tab2p_full[idx].reshape(E * d2, d2)),
+            "dmat2": put2(dmat_full[idx].reshape(E * d2, d2)),
         })
-    return {"chunks": chunks, "cs": cs, "v": 2}
+    return {"chunks": chunks, "cs": cs, "v": 2, "mesh": mesh}
 
 
 @functools.lru_cache(maxsize=None)
 def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                  lorder: bool, params: SAParams, interpret: bool,
-                 rng_mode: str, lsoln: bool = True):
-    """v2 single-dispatch whole-DB search (see _make_db_fn)."""
+                 rng_mode: str, lsoln: bool = True, mesh=None):
+    """v2 single-dispatch whole-DB search (see _make_db_fn).
+
+    With ``mesh`` (1-D jax.sharding.Mesh over the entry axis), every
+    chunk's kernel runs SPMD via shard_map: each device executes the
+    SAME Pallas kernel on its local 1/n slice of the entries (chunks
+    are pre-padded to a multiple of MAX_GROUP * mesh.size).  Per-entry
+    RNG is keyed by global file-order indices, so sharded and unsharded
+    runs are bitwise identical.  No collectives in the hot loop — the
+    score gather happens at drain time.
+    """
     from .pallas_sa2 import make_pallas2_bucket_search, make_qb2
 
     n1r = round8(n1)
     P = n1 + 3 * params.maxiter
+    ndev = mesh.size if mesh is not None else 1
     kerns = {}
     for E, d2 in set(chunk_shapes):
+        assert E % ndev == 0, (E, ndev)
         kerns[(E, d2)] = make_pallas2_bucket_search(
-            E, n1, d2, c_par, r_seq, lorder, params, interpret, rng_mode,
-            lsoln)
+            E // ndev, n1, d2, c_par, r_seq, lorder, params, interpret,
+            rng_mode, lsoln)
+
+    def _uniforms(indices, seed, tag, E, G):
+        from .engine import log_acc_slots
+
+        base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(base, i))(indices)
+
+        def per_entry(key):
+            def per_restart(r):
+                u = jax.random.uniform(
+                    jax.random.fold_in(key, r), (P, c_par),
+                    dtype=jnp.float32)
+                u = log_acc_slots(u, n1)  # accept slots -> ln(u)
+                if c_par < C_LANES:
+                    u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
+                return u
+            return jax.vmap(per_restart)(
+                jnp.arange(r_seq, dtype=jnp.uint32))
+
+        u4 = jax.vmap(per_entry)(keys)  # [E, r, P, C]
+        return (u4.reshape(E // G, G, r_seq, P, C_LANES)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(E // G, r_seq, P * G, C_LANES))
+
+    def _sharded_call(kern, G, E, d2, indices, n2, types2, tab2p, dmat2,
+                      seed, tag, qt, qtv, qb2t, qb2d):
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as SP
+
+        ax = mesh.axis_names[0]
+        ent = SP(ax)
+        ent2 = SP(ax, None)
+        rep = SP()
+
+        def body(idx_l, n2_l, t2_l, tp_l, dm_l, seed_a, tag_a, qt_a,
+                 qtv_a, qb2t_a, qb2d_a):
+            if rng_mode == "pltpu":
+                rng_in = jnp.concatenate([
+                    seed_a.astype(jnp.int32)[None],
+                    tag_a.astype(jnp.int32)[None],
+                    idx_l.astype(jnp.int32)])
+            else:
+                rng_in = _uniforms(idx_l, seed_a, tag_a, E // ndev, G)
+            res = kern(n2_l, qt_a, qtv_a, qb2t_a, qb2d_a, t2_l, tp_l,
+                       dm_l, rng_in)
+            return res if lsoln else res[0]
+
+        out_specs = (SP(ax, None, None),)
+        if lsoln:
+            out_specs += (SP(ax, None, None),)
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(ent, ent, ent2, ent2, ent2, rep, rep, rep, rep,
+                      rep, rep),
+            out_specs=out_specs if lsoln else out_specs[0],
+            check_rep=False,
+        )(indices, n2, types2, tab2p, dmat2,
+          jnp.asarray(seed, jnp.int32), jnp.asarray(tag, jnp.int32),
+          qt, qtv, qb2t, qb2d)
 
     def f(seed, tag, qt, qtabp, qdmat, chunk_args):
         outs = []
@@ -346,34 +444,21 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                 qb2s[G] = (make_qb2(qtabp, qdmat, G),
                            jnp.tile(qt.astype(jnp.int32)[:, None],
                                     (G, 1)))
-            qb2, qtv = qb2s[G]
+            (qb2t, qb2d), qtv = qb2s[G]
+            if mesh is not None:
+                out = _sharded_call(kern, G, E, d2, indices, n2, types2,
+                                    tab2p, dmat2, seed, tag, qt, qtv,
+                                    qb2t, qb2d)
+                outs.append((out if lsoln else (out, None), G))
+                continue
             if rng_mode == "pltpu":
                 rng_in = jnp.concatenate([
                     jnp.asarray(seed, jnp.int32)[None],
                     jnp.asarray(tag, jnp.int32)[None],
                     indices.astype(jnp.int32)])
             else:
-                base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
-                keys = jax.vmap(
-                    lambda i: jax.random.fold_in(base, i))(indices)
-
-                def per_entry(key):
-                    def per_restart(r):
-                        u = jax.random.uniform(
-                            jax.random.fold_in(key, r), (P, c_par),
-                            dtype=jnp.float32)
-                        if c_par < C_LANES:
-                            u = jnp.pad(
-                                u, ((0, 0), (0, C_LANES - c_par)))
-                        return u
-                    return jax.vmap(per_restart)(
-                        jnp.arange(r_seq, dtype=jnp.uint32))
-
-                u4 = jax.vmap(per_entry)(keys)  # [E, r, P, C]
-                rng_in = (u4.reshape(E // G, G, r_seq, P, C_LANES)
-                          .transpose(0, 2, 3, 1, 4)
-                          .reshape(E // G, r_seq, P * G, C_LANES))
-            outs.append((kern(n2, qt, qtv, qb2, types2, tab2p,
+                rng_in = _uniforms(indices, seed, tag, E, G)
+            outs.append((kern(n2, qt, qtv, qb2t, qb2d, types2, tab2p,
                               dmat2, rng_in), G))
         # concatenate on device: the drain must be ONE transfer per
         # output, not one per chunk (each D2H costs a full round trip
@@ -393,7 +478,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
 def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
                       r_seq: int, lorder: bool, params: SAParams,
                       interpret: bool, rng_mode: str,
-                      lsoln: bool = True):
+                      lsoln: bool = True, mesh=None):
     """Multi-query single-dispatch: lax.scan over a stacked query axis.
 
     The scan body is the whole-DB search of _make_db_fn2 — compiled
@@ -405,7 +490,7 @@ def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
     throughput regardless of kernel speed.
     """
     inner = _make_db_fn2(chunk_shapes, n1, c_par, r_seq, lorder, params,
-                         interpret, rng_mode, lsoln).__wrapped__
+                         interpret, rng_mode, lsoln, mesh).__wrapped__
 
     def f(seed, tags, qts, qtabps, qdmats, chunk_args):
         def body(_, per_q):
@@ -419,7 +504,29 @@ def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
     return jax.jit(f)
 
 
-K_TILE = 8  # fixed scan length: one compile covers any batch size
+K_TILE = 8  # max scan length per device program
+
+
+def _tile_plan(K: int) -> list[int]:
+    """Split K queries into power-of-two scan tiles (8/4/2/1).
+
+    A fixed tile of 8 padded 1-query batches to 8 full-DB searches;
+    power-of-two tiles bound padding waste to < 2x while keeping the
+    number of distinct compiled programs at most 4 (one per tile size).
+    """
+    plan = []
+    rem = K
+    while rem >= K_TILE:
+        plan.append(K_TILE)
+        rem -= K_TILE
+    t = K_TILE >> 1
+    while rem > 0:
+        if rem >= t or t == 1:
+            plan.append(t)
+            rem -= min(rem, t)
+        else:
+            t >>= 1
+    return plan
 
 
 @functools.lru_cache(maxsize=None)
@@ -438,12 +545,12 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
                               device_db: dict | None = None,
                               interpret: bool = False,
                               rng_mode: str = "pltpu",
-                              lsoln: bool = False):
-    """Dispatch K same-order queries as a pipeline of fixed-size scan
-    tiles (K_TILE queries per device program; the batch is padded by
-    replicating the last query under throwaway tags, so ONE compiled
-    program covers any K).  Tile outputs are concatenated on device;
-    the handle drains with assemble_db_pallas2_multi in a single D2H
+                              lsoln: bool = False, mesh=None):
+    """Dispatch K same-order queries as a pipeline of power-of-two scan
+    tiles (up to K_TILE queries per device program; a short tail is
+    padded to the next power of two by replicating the last query under
+    throwaway tags).  Tile outputs are concatenated on device; the
+    handle drains with assemble_db_pallas2_multi in a single D2H
     transfer.
     """
     n1 = queries[0].order
@@ -454,7 +561,8 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
     K = len(queries)
     tags = list(query_tags)
     assert len(tags) == K
-    pad = (-K) % K_TILE
+    tiles = _tile_plan(K)
+    pad = sum(tiles) - K
     queries = list(queries) + [queries[-1]] * pad
     maxtag = max(tags)
     tags = tags + [maxtag + 1 + i for i in range(pad)]
@@ -482,14 +590,16 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
             chunk_meta.append(((bucket, ch["start"], ch["end"]),
                                ch["size"]))
 
-    fn = _make_db_scan_fn2(tuple(shapes), n1, c_par, r_seq, lorder,
-                           params, interpret, rng_mode, lsoln)
     qts = np.stack(qts)
     qtabps = np.stack(qtabps)
     qdmats = np.stack(qdmats)
+    fn = _make_db_scan_fn2(tuple(shapes), n1, c_par, r_seq, lorder,
+                           params, interpret, rng_mode, lsoln)
     parts = []
-    for t0 in range(0, K + pad, K_TILE):
-        sl = slice(t0, t0 + K_TILE)
+    t0 = 0
+    for tile in tiles:  # jit specializes once per distinct tile length
+        sl = slice(t0, t0 + tile)
+        t0 += tile
         parts.append(fn(seed, jnp.asarray(tags[sl], jnp.int32),
                         jnp.asarray(qts[sl]), jnp.asarray(qtabps[sl]),
                         jnp.asarray(qdmats[sl]), chunk_args))
@@ -500,9 +610,11 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
 def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     """Drain a multi-query handle: ONE D2H per output array, then
     host-side slicing into per-query (scores, maps) in file order."""
+    from ..parallel.distributed import to_host
+
     db, n1, n1r, chunk_meta, (scores_k, maps_k), K = handle
-    sf_k = np.asarray(scores_k)
-    mf_k = None if maps_k is None else np.asarray(maps_k)
+    sf_k = to_host(scores_k)
+    mf_k = None if maps_k is None else to_host(maps_k)
     results = []
     for qi in range(K):
         scores = np.zeros((db.nentries,), np.int32)
@@ -527,8 +639,9 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
                         device_db: dict | None = None,
                         interpret: bool = False,
                         rng_mode: str = "pltpu",
-                        lsoln: bool = True):
-    """v2 twin of dispatch_db_pallas."""
+                        lsoln: bool = True, mesh=None):
+    """v2 twin of dispatch_db_pallas.  ``mesh``: optional 1-D device
+    mesh; the kernel then runs SPMD over the entry axis (shard_map)."""
     n1 = query.order
     n1r = round8(n1)
     c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
@@ -541,8 +654,8 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
         darr = None
         if device_db is not None:
             darr = device_db.get(bi, {}).get("pallas")
-        if darr is None or darr.get("v") != 2:
-            darr = prepare_bucket_pallas2(bucket)
+        if darr is None or darr.get("v") != 2 or darr.get("mesh") is not mesh:
+            darr = prepare_bucket_pallas2(bucket, mesh=mesh)
         for ch in darr["chunks"]:
             shapes.append((ch["size"], bucket.dim))
             chunk_args.append((ch["indices"], ch["n2"], ch["types2"],
@@ -551,16 +664,18 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
                                ch["size"]))
 
     fn = _make_db_fn2(tuple(shapes), n1, c_par, r_seq, lorder, params,
-                      interpret, rng_mode, lsoln)
+                      interpret, rng_mode, lsoln, mesh)
     outs = fn(seed, query_tag, jnp.asarray(qtypes), jnp.asarray(qtabp),
               jnp.asarray(qdmat), chunk_args)
     return (db, n1, n1r, chunk_meta, outs)
 
 
 def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
+    from ..parallel.distributed import to_host
+
     db, n1, n1r, chunk_meta, (scores_flat, maps_flat) = handle
-    sf = np.asarray(scores_flat)
-    mf = None if maps_flat is None else np.asarray(maps_flat)
+    sf = to_host(scores_flat)
+    mf = None if maps_flat is None else to_host(maps_flat)
     scores = np.zeros((db.nentries,), np.int32)
     maps = np.full((db.nentries, n1), -1, np.int32)
     off = 0

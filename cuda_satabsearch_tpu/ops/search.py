@@ -159,18 +159,24 @@ def search_bucket(query: PackedQuery, bucket: PackedBucket, *,
         else:
             s, m = fn(*qargs, types2[sl], tabhi2[sl], tablo2[sl],
                       dmat2[sl], orders[sl], keys[sl])
-            scores[sl] = np.asarray(s)
-            maps[sl] = np.asarray(m)
+            if sharding is not None:
+                from ..parallel.distributed import to_host
+
+                scores[sl] = to_host(s)
+                maps[sl] = to_host(m)
+            else:
+                scores[sl] = np.asarray(s)
+                maps[sl] = np.asarray(m)
     return scores, maps
 
 
 def resolve_backend(backend: str, sharding=None) -> str:
     """'auto' -> the Pallas kernel on TPU-like backends (hand-fused
-    VMEM-resident hot loop), the XLA engine on CPU and for mesh-sharded
-    execution (pallas under shard_map is future work)."""
+    VMEM-resident hot loop; under a mesh it runs SPMD via shard_map),
+    the XLA engine on CPU."""
     if backend != "auto":
         return backend
-    if sharding is not None or jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu":
         return "xla"
     return "pallas"
 
@@ -191,10 +197,11 @@ def search_db(query: PackedQuery, db: PackedDB, *,
         from .pallas_search import (assemble_db_pallas2,
                                     dispatch_db_pallas2)
 
+        mesh = sharding.mesh if sharding is not None else None
         scores, maps = assemble_db_pallas2(dispatch_db_pallas2(
             query, db, maxstart=maxstart, lorder=lorder, seed=seed,
             query_tag=query_tag, c_max=c_max, params=params,
-            device_db=device_db, lsoln=lsoln))
+            device_db=device_db, lsoln=lsoln, mesh=mesh))
         return SearchResult(scores=scores, ssemaps=maps, names=db.names,
                             orders=db.orders, query_order=n1,
                             maxstart=maxstart)
@@ -241,7 +248,11 @@ def upload_db(db: PackedDB, device=None, sharding=None,
         if use == "pallas":
             from .pallas_search import prepare_bucket_pallas2
 
-            entry["pallas"] = prepare_bucket_pallas2(b, device=device)
+            mesh = None
+            if sharding is not None and not callable(sharding):
+                mesh = sharding.mesh
+            entry["pallas"] = prepare_bucket_pallas2(b, device=device,
+                                                     mesh=mesh)
         else:
             entry["xla"] = {"types": put(b.types), "tabhi": put(b.tabhi),
                             "tablo": put(b.tablo), "dmat": put(b.dmat),

@@ -33,3 +33,21 @@ def initialize(coordinator_address: str | None = None,
 def is_primary() -> bool:
     """True on the process that should emit results (process 0)."""
     return jax.process_index() == 0
+
+
+def to_host(x):
+    """Materialize a (possibly multi-host-sharded) array on every host.
+
+    Single-process: a plain device->host transfer.  Multi-process: the
+    array's shards live on different hosts, so ``np.asarray`` would
+    fail on the non-addressable ones; ``process_allgather`` rides the
+    collective fabric to assemble the full value everywhere (the score
+    vector is [N] int32 — trivial bandwidth, SURVEY §5)."""
+    import numpy as np
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -102,7 +102,8 @@ class SearchSession:
 
         cfg = self.config
         if resolve_backend(cfg.backend, self.sharding) != "pallas":
-            return [self.search(q, lorder=lorder) for q in queries]
+            return [self.search(q, lorder=lorder, lsoln=lsoln)
+                    for q in queries]
         from .ops.pallas_search import (assemble_db_pallas2_multi,
                                         dispatch_db_pallas2_multi)
 
@@ -122,7 +123,9 @@ class SearchSession:
                 [queries[i] for i in idxs], self.db,
                 maxstart=cfg.maxstart, lorder=lorder, seed=cfg.seed,
                 query_tags=tags, c_max=cfg.c_max, params=cfg.params,
-                device_db=self.device_db, lsoln=lsoln)))
+                device_db=self.device_db, lsoln=lsoln,
+                mesh=self.sharding.mesh if self.sharding is not None
+                else None)))
         out: list = [None] * len(queries)
         for idxs, h in handles:
             for i, (scores, maps) in zip(idxs,

@@ -1,0 +1,85 @@
+"""On-hardware bitwise parity gate: Pallas kernel (supplied-RNG mode)
+vs the XLA engine on identical threefry streams, on the REAL device.
+
+The interpret-mode tests (tests/test_pallas.py) prove the kernel's
+semantics on CPU; this script proves the Mosaic-lowered TPU binary
+computes the same thing — exact equality of every score and best-map
+entry, replacing any tolerance-based check.  Covers small and large
+query orders (n1 > 16 exercises the fori_loop ref-gather path, which
+has its own lowering) and both bucket widths.
+
+Exit 0 on success; prints PARITY OK lines to stderr.  Run directly or
+via `python bench.py --paritycheck`.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(seed: int = 99) -> None:
+    import jax
+
+    from cuda_satabsearch_tpu.io.pack import pack_database, pack_query
+    from cuda_satabsearch_tpu.io.parser import TableauEntry
+    from cuda_satabsearch_tpu.ops.pallas_search import (
+        assemble_db_pallas2, dispatch_db_pallas2)
+    from cuda_satabsearch_tpu.ops.search import search_db
+
+    rng = np.random.default_rng(seed)
+
+    def entry(n, name):
+        types = rng.integers(0, 4, size=n).astype(np.uint8)
+        hi = np.triu(rng.integers(0, 4, size=(n, n)), 1).astype(np.uint8)
+        hi = hi + hi.T
+        lo = np.triu(rng.integers(0, 4, size=(n, n)), 1).astype(np.uint8)
+        lo = lo + lo.T
+        np.fill_diagonal(hi, types)
+        np.fill_diagonal(lo, types)
+        d = np.triu(rng.random((n, n)) * 25.0, 1).astype(np.float32)
+        d = (d + d.T).astype(np.float32)
+        np.fill_diagonal(d, types.astype(np.float32))
+        return TableauEntry(name=name, order=n, tabhi=hi, tablo=lo,
+                            types=types, dmat=d)
+
+    backend = jax.default_backend()
+    print(f"paritycheck on backend={backend} "
+          f"({jax.devices()[0].device_kind})", file=sys.stderr)
+
+    sizes = list(rng.integers(4, 17, size=21)) + [40, 75, 101]
+    entries = [entry(int(n), f"e{i:03d}") for i, n in enumerate(sizes)]
+    db = pack_database(entries, buckets=(16, 112))
+
+    failures = 0
+    for n1 in (8, 19, 101):
+        query = pack_query(entry(n1, "query"))
+        for lorder in (True, False):
+            h = dispatch_db_pallas2(
+                query, db, maxstart=32, lorder=lorder, seed=1234,
+                query_tag=5, c_max=32, rng_mode="supplied",
+                interpret=False)
+            ps, pm = assemble_db_pallas2(h)
+            ref = search_db(query, db, maxstart=32, lorder=lorder,
+                            seed=1234, query_tag=5, c_max=32,
+                            backend="xla")
+            ok = (np.array_equal(ps, ref.scores)
+                  and np.array_equal(pm, ref.ssemaps))
+            tagln = f"n1={n1:3d} lorder={int(lorder)}"
+            if ok:
+                print(f"PARITY OK   {tagln}: {len(ps)} entries bitwise "
+                      f"equal (scores + maps)", file=sys.stderr)
+            else:
+                nbad = int(np.sum(ps != ref.scores))
+                print(f"PARITY FAIL {tagln}: {nbad} score mismatches",
+                      file=sys.stderr)
+                failures += 1
+    if failures:
+        raise SystemExit(f"paritycheck: {failures} failing configs")
+    print("paritycheck: all configs bitwise equal", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    run()

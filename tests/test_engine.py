@@ -16,7 +16,8 @@ from conftest import random_entry
 from cuda_satabsearch_tpu.core.codes import TYPE_PAD
 from cuda_satabsearch_tpu.io.pack import (DMAT_PAD, pack_database, pack_query)
 from cuda_satabsearch_tpu.ops import golden
-from cuda_satabsearch_tpu.ops.engine import make_entry_search
+from cuda_satabsearch_tpu.ops.engine import (log_acc_slots,
+                                              make_entry_search)
 from cuda_satabsearch_tpu.ops.search import (choose_chains, entry_keys,
                                              search_db)
 
@@ -53,8 +54,9 @@ def _run_pair(n1, n2, cap, c_par, r_seq, lorder, seed, gather_mode="take"):
     # golden: per chain c, concatenate that chain's uniform column over
     # the r_seq restarts (the engine regenerates a block per restart)
     per_restart = golden.uniforms_per_restart(n1)
-    blocks = [np.asarray(jax.random.uniform(
-        jax.random.fold_in(key, r), (per_restart, c_par), dtype=jnp.float32))
+    blocks = [np.asarray(log_acc_slots(jax.random.uniform(
+        jax.random.fold_in(key, r), (per_restart, c_par),
+        dtype=jnp.float32), n1))
         for r in range(r_seq)]
     chain_scores = np.empty(c_par, np.int64)
     chain_maps = np.empty((c_par, n1), np.int64)
@@ -125,8 +127,8 @@ def test_search_db_end_to_end():
     for pos, e in enumerate(entries):
         dbq = pack_query(e)
         key = jnp.asarray(keys[pos])
-        blocks = [np.asarray(jax.random.uniform(
-            jax.random.fold_in(key, r), (per_restart, c_par)))
+        blocks = [np.asarray(log_acc_slots(jax.random.uniform(
+            jax.random.fold_in(key, r), (per_restart, c_par)), 7))
             for r in range(r_seq)]
         best = None
         for c in range(c_par):

@@ -47,3 +47,34 @@ def test_mesh_padding_counts():
     for b in db.buckets:
         assert b.size % 8 == 0
         assert (b.index >= 0).sum() == 5
+
+
+def test_pallas_sharded_matches_unsharded_interpret():
+    """The production (Pallas) kernel under shard_map over the 8-device
+    CPU mesh (interpret mode) is bitwise equal to its unsharded run AND
+    to the XLA engine on the same supplied threefry streams."""
+    from cuda_satabsearch_tpu.ops.pallas_search import (
+        assemble_db_pallas2, dispatch_db_pallas2)
+
+    rng = np.random.default_rng(13)
+    entries = [random_entry(rng, int(n), f"e{i:03d}")
+               for i, n in enumerate(rng.integers(4, 17, size=19))]
+    query = pack_query(random_entry(rng, 7, "q"))
+    db = pack_database(entries, buckets=(16, 112))
+
+    kw = dict(maxstart=16, lorder=True, seed=7, query_tag=3, c_max=16,
+              rng_mode="supplied", interpret=True)
+    s_plain, m_plain = assemble_db_pallas2(
+        dispatch_db_pallas2(query, db, **kw))
+
+    mesh = make_mesh(jax.devices()[:8])
+    s_shard, m_shard = assemble_db_pallas2(
+        dispatch_db_pallas2(query, db, mesh=mesh, **kw))
+
+    np.testing.assert_array_equal(s_shard, s_plain)
+    np.testing.assert_array_equal(m_shard, m_plain)
+
+    ref = search_db(query, db, maxstart=16, lorder=True, seed=7,
+                    query_tag=3, c_max=16, backend="xla")
+    np.testing.assert_array_equal(s_shard, ref.scores)
+    np.testing.assert_array_equal(m_shard, ref.ssemaps)

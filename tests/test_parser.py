@@ -106,7 +106,10 @@ def test_pack_buckets(ref_dir):
     ent = db.entry(0, 0)
     src = entries[b0.index[0]]
     np.testing.assert_array_equal(ent.tabhi, src.tabhi)
-    np.testing.assert_allclose(ent.dmat, src.dmat)
+    # distances are bf16-quantized at pack time (io/pack.quantize_dmat)
+    np.testing.assert_allclose(ent.dmat, src.dmat, rtol=4e-3)
+    from cuda_satabsearch_tpu.io.pack import quantize_dmat
+    np.testing.assert_array_equal(ent.dmat, quantize_dmat(src.dmat))
     # lookup
     bi, i = db.lookup(src.name.upper())
     assert db.buckets[bi].names[i] == src.name
