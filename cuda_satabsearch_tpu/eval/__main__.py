@@ -45,6 +45,13 @@ def main(argv=None) -> int:
     ap.add_argument("--fischer", default=None, choices=["fold", "class"],
                     help="use the built-in Fischer-1996 gold standard at "
                          "fold or class level (rocrfischer.py equivalent)")
+    ap.add_argument("--nh3d", default=None, choices=["arch", "class"],
+                    help="use the built-in Nh3D gold standard at CATH "
+                         "architecture or class level (rocrnh3d.py "
+                         "equivalent; ids in compressed CATH form)")
+    ap.add_argument("--cops-tp", default=None, metavar="FILE",
+                    help="COPS true-positives file as the gold standard "
+                         "(rocrcops.py equivalent)")
     ap.add_argument("--latex", action="store_true",
                     help="emit rows as 'qid & auc \\\\' LaTeX table lines "
                          "(mkauctabrow.sh equivalent)")
@@ -62,11 +69,20 @@ def main(argv=None) -> int:
                          "plotsearchroc.r / fitgumbeldist.r figures")
     args = ap.parse_args(argv)
 
-    if (args.gold is None) == (args.fischer is None):
-        ap.error("exactly one of --gold / --fischer is required")
+    sources = [s for s in (args.gold, args.fischer, args.nh3d,
+                           args.cops_tp) if s is not None]
+    if len(sources) != 1:
+        ap.error("exactly one of --gold / --fischer / --nh3d / --cops-tp "
+                 "is required")
     if args.fischer:
         from .fischer import fischer_gold
         gold = fischer_gold(args.fischer)
+    elif args.nh3d:
+        from .nh3d import nh3d_gold
+        gold = nh3d_gold(args.nh3d)
+    elif args.cops_tp:
+        from .cops import parse_cops_tp
+        gold = parse_cops_tp(args.cops_tp)
     else:
         gold = load_gold_standard(args.gold)
     fh = sys.stdin if args.results == "-" else open(args.results)

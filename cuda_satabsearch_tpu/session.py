@@ -41,6 +41,9 @@ class SessionConfig:
 class SearchSession:
     def __init__(self, dbfile: str, config: SessionConfig | None = None,
                  entries: list[TableauEntry] | None = None):
+        from .core.cache import enable_compile_cache
+
+        enable_compile_cache()  # persist compiled kernels across runs
         self.config = config or SessionConfig()
         self.dbfile = dbfile
 

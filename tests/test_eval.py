@@ -169,3 +169,78 @@ def test_scop_cla_parsing_and_gold(tmp_path):
     assert len(q) == 5 and len(set(q)) == 5
     q2 = sample_query_list(doms, 2, seed=1)
     assert len(q2) == 2
+
+
+def test_nh3d_tables_and_gold():
+    from cuda_satabsearch_tpu.eval.nh3d import (
+        NH3D_QUERIES, all_cath_ids, architecture, cathmap, compress,
+        nh3d_gold)
+    ids = all_cath_ids()
+    assert len(ids) == 805
+    assert len(NH3D_QUERIES) == 73
+    cm = cathmap()
+    assert len(cm) == 805  # compression is collision-free on Nh3D
+    assert cm["1101290"] == "1.10.1290"  # the reference's own example
+    assert cm["3301530"] == "3.30.1530"
+    qset = set(NH3D_QUERIES)
+    assert qset <= set(ids)  # every query is in the dataset
+    gold = nh3d_gold("arch")
+    assert set(gold) == {compress(q) for q in NH3D_QUERIES}
+    g = gold[compress("1.10.1040")]
+    assert compress("1.10.1040") in g  # self positive
+    assert all(cm[p].startswith("1.10.") for p in g)
+    assert len(g) == sum(1 for i in ids if architecture(i) == "1.10")
+    gold_c = nh3d_gold("class")
+    assert gold[compress("3.20.19")] < gold_c[compress("3.20.19")]
+
+
+def test_nh3d_eval_cli(tmp_path, capsys):
+    from cuda_satabsearch_tpu.eval.__main__ import main as eval_main
+    res = tmp_path / "out.txt"
+    # query 1.20.5 (compressed 1205): rank an arch-mate first, then
+    # non-arch entries
+    res.write_text(
+        "# QUERY ID = 1205\n"
+        "120150 9.0\n34010 3.0\n25010 2.0\n")
+    rc = eval_main([str(res), "--nh3d", "arch"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert any(l.startswith("1205") and "1.0000" in l
+               for l in out.splitlines())
+
+
+def test_cops_gold(tmp_path):
+    from cuda_satabsearch_tpu.eval.cops import parse_cops_tp
+    tp = tmp_path / "cops.tp"
+    tp.write_text("# header\n"
+                  "c1abcA_ T1 T2 T3 T4 T5 T6\n"
+                  "badline only three\n"
+                  "c2defB_ U1 U2 U3 U4 U5 U6\n")
+    gold = parse_cops_tp(str(tp))
+    assert gold["c1abca_"] == {"t1", "t2", "t3", "t4", "t5", "t6"}
+    assert len(gold) == 2
+    import pytest
+    with pytest.raises(ValueError):
+        parse_cops_tp(str(tp), strict=True)
+
+
+def test_timestab(tmp_path, capsys):
+    from cuda_satabsearch_tpu.eval.timestab import main as ts_main
+    res1 = tmp_path / "a.txt"
+    res1.write_text("# QUERY ID = 1tie\n8i1b 9.0\n1arb 3.0\n1mup 2.0\n")
+    res2 = tmp_path / "b.txt"
+    res2.write_text("# QUERY ID = 1tie\n8i1b 1.0\n1arb 3.0\n1mup 2.0\n")
+    man = tmp_path / "manifest.tsv"
+    man.write_text("# label\tresults\tseconds\n"
+                   f"cpu baseline\t{res1}\t3600\n"
+                   f"tpu\t{res2}\t36\n")
+    rc = ts_main([str(man), "--fischer", "fold"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert r"\begin{tabular}" in out
+    # rows sorted by time descending: baseline first, speedup 1 then 100
+    lines = [l for l in out.splitlines() if " & " in l and "AUC" not in l]
+    assert lines[0].startswith("cpu baseline")
+    assert "1.00" in lines[0].split("&")[-1]
+    assert "100.00" in lines[1].split("&")[-1]
+    assert "1 h 0 m 0 s" in lines[0]
