@@ -244,3 +244,133 @@ def test_timestab(tmp_path, capsys):
     assert "1.00" in lines[0].split("&")[-1]
     assert "100.00" in lines[1].split("&")[-1]
     assert "1 h 0 m 0 s" in lines[0]
+
+
+# ---------------------------------------------------------------------------
+# competitor-output adapters (scripts/*out2col* twins)
+# ---------------------------------------------------------------------------
+
+def _collect(items):
+    from cuda_satabsearch_tpu.eval.adapters import write_2col
+    import io
+    buf = io.StringIO()
+    write_2col(items, buf)
+    return buf.getvalue()
+
+
+def test_adapter_dalilite():
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import iter_dalilite
+    # two DCCP records for the same target -> max Z kept; ids converted
+    # to Fischer form (1atnA -> 1atn_a; 1cew listed chainless stays 1cew)
+    dccp = io.StringIO(
+        " DCCP   1   940.2  2.9  211   21.5   211  0001  1timA 1atnA\n"
+        " DCCP   1   900.0  2.9  211   30.0   211  0002  1timA 1atnA\n"
+        " DCCP   1   100.0  2.9   50    5.0    50  0003  1timA 1cewA\n")
+    out = _collect(iter_dalilite(dccp))
+    lines = out.splitlines()
+    assert lines[0] == "# QUERY ID = 1tim_a"
+    assert ("1atn_a", "30.0") == tuple(lines[1].split())
+    assert ("1cew", "5.0") == tuple(lines[2].split())
+
+
+def test_adapter_vast():
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import iter_vast
+    gibbs = io.StringIO(
+        "d1abca_ Nclique= 3\n"
+        "Nres a b c d e Pcli x\n"
+        "100 1 2 3 4 5 0.9 y\n"
+        "d1abca_ Nclique= 1\n"
+        "Nres a b c d e Pcli x\n"
+        "100 1 2 3 4 5 0.4 y\n")
+    out = _collect(iter_vast(gibbs))
+    assert out == "d1abca_    0.9\n"
+
+
+def test_adapter_ssm_xml():
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import iter_ssm_xml
+    xml = io.StringIO(
+        "<SSMResults><Match><Q-score>0.61</Q-score>"
+        "<Target><name>d1ubia_</name></Target></Match>"
+        "<Match><Q-score>0.32</Q-score>"
+        "<Target><name>d2fazA1</name></Target></Match></SSMResults>")
+    out = _collect(iter_ssm_xml(xml))
+    assert out == "d1ubia_    0.61\nd2fazA1    0.32\n"
+
+
+def test_adapter_tableausearch():
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import iter_tableausearch
+    scores = io.StringIO(
+        "/db/d1u3ya_.ent.angles   Score-of-comparison:    -149.2\n"
+        "/db/d1geea_.ent.angles   Score-of-comparison:    -593.7\n")
+    out = _collect(iter_tableausearch(scores))
+    assert out == "d1u3ya_    -149.2\nd1geea_    -593.7\n"
+
+
+def test_adapter_sheba():
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import iter_sheba
+    txt = io.StringIO(
+        "junk\n"
+        " pdb1   na       pdb2   nb   id    m   %ma    %mb \n"
+        " 1timA  247  d1abca_  100  10  55  20  30\n"
+        " 1timA  247  d2defb_  200  11  66  21  31\n"
+        " 1timA  247  footer   0  0  0  0  0\n"
+        "\n"
+        "after\n")
+    out = _collect(iter_sheba(txt))
+    lines = out.splitlines()
+    assert lines[0] == "# QUERYID = 1timA"
+    assert lines[1:] == ["d1abca_    55", "d2defb_    66"]
+
+
+def test_adapter_yakusa():
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import iter_yakusa
+    txt = io.StringIO(
+        "Query: d1ubia_\n"
+        "Description query : a b c d1ubia_\n"
+        "Protein rank: 1 score: 118.48 Z-score: 24.29 name: d1u6ra1 : x\n"
+        "Protein rank: 2 score: 90.0 Z-score: inf name: d2abca_ : x\n")
+    out = _collect(iter_yakusa(txt, queryid=True))
+    lines = out.splitlines()
+    assert "# Query: d1ubia_" in lines
+    assert "# QUERY ID = d1ubia_" in lines
+    assert "d1u6ra1    24.29" in lines
+    assert "d2abca_    99999" in lines
+
+
+def test_adapter_topscompare_lock2():
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import (iter_lock2,
+                                                    iter_topscompare)
+    out = _collect(iter_topscompare(io.StringIO(
+        "12.5 d1abca_extra\n3.5 probe\n4.0 d2defb_\n")))
+    assert out == "d1abca_    12.5\nd2defb_    4.0\n"
+    out = _collect(iter_lock2(io.StringIO(
+        "** Query = /x/d1ubia_.pdb\n"
+        "** Target = /x/d1abca_.pdb\n"
+        "final score: 41.5\n"
+        "** Target = /x/d2defb_.pdb\n"
+        "final score: 12.0\n"), queryid=True))
+    lines = out.splitlines()
+    assert lines[0] == "# QUERY ID = d1ubia_"
+    assert lines[1:] == ["d1abca_    41.5", "d2defb_    12.0"]
+
+
+def test_split_multiquery(tmp_path):
+    import io
+    from cuda_satabsearch_tpu.eval.adapters import split_multiquery
+    # two-pass output: same query id appears twice (small then large db)
+    stream = io.StringIO(
+        "# QUERY ID = d1ubia_\nd1abca_ 10\n"
+        "# QUERY ID = d2phlb1\nd1abca_ 5\n"
+        "# QUERY ID = d1ubia_\nd9bigx_ 20\n")
+    paths = split_multiquery(stream, str(tmp_path))
+    assert sorted(p.split("/")[-1] for p in paths) == [
+        "d1ubia_.out", "d2phlb1.out"]
+    body = (tmp_path / "d1ubia_.out").read_text()
+    assert "d1abca_    10" in body and "d9bigx_    20" in body
