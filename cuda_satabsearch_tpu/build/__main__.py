@@ -22,7 +22,7 @@ import os
 import sys
 
 from ..io.writer import format_database, format_entry
-from .builder import build_from_file
+from .builder import build_from_file, default_name as _default_name
 
 
 def iter_pdb_files(root: str):
@@ -67,7 +67,15 @@ def main(argv=None) -> int:
                     help="SSE assignment source (buildtableauxdb -t): "
                          "'pdb' uses HELIX/SHEET records; dssp/stride "
                          "run the external binary")
+    ap.add_argument("-p", dest="domains", default="none",
+                    help="domain decomposition (buildtableauxdb -p): "
+                         "'none' (default), 'ddomain' (runs the DDOMAIN "
+                         "binary), or 'cath:CDF_FILE' (CATH Domall file); "
+                         "multi-domain structures emit one entry per "
+                         "domain named NAME+index")
     args = ap.parse_args(argv)
+    if args.domains != "none" and (args.sse_ids or args.permute):
+        ap.error("-p cannot be combined with --sse-ids/-u")
     sse_id_list = ([int(x) for x in args.sse_ids.split(",")]
                    if args.sse_ids else None)
 
@@ -96,23 +104,42 @@ def main(argv=None) -> int:
                     print(f"permutation {path}: "
                           + ",".join(str(p + 1) for p in perm),
                           file=sys.stderr)
+            name1 = args.name if len(files) == 1 else None
             if args.secstruct != "pdb":
-                from .builder import build_entry
                 from .secstruct import read_pdb_with_secstruct
 
                 struct = read_pdb_with_secstruct(path, args.secstruct)
-                e = build_entry(
-                    struct,
-                    name=args.name if len(files) == 1 else None,
-                    include_310=args.incl_310, include_pi=args.incl_pi,
-                    min_sse_len=args.min_sse_len, use_hk=args.use_hk,
-                    sse_id_list=sse_id_list, permutation=perm)
             else:
-                e = build_from_file(
-                    path, name=args.name if len(files) == 1 else None,
+                from .pdbfile import read_pdb
+
+                struct = read_pdb(path)
+            if args.domains != "none":
+                from .builder import build_domain_entries
+                from .domains import read_cath_domains, run_ddomain
+
+                if args.domains.startswith("cath:"):
+                    pid = struct.pdbid or _default_name(path)[:4]
+                    doms = read_cath_domains(args.domains[5:], pid)
+                elif args.domains == "ddomain":
+                    doms = run_ddomain(path)
+                else:
+                    ap.error(f"bad -p value {args.domains!r}")
+                new = build_domain_entries(
+                    struct, doms, name=name1 or _default_name(path),
                     include_310=args.incl_310, include_pi=args.incl_pi,
-                    min_sse_len=args.min_sse_len, use_hk=args.use_hk,
-                    sse_id_list=sse_id_list, permutation=perm)
+                    min_sse_len=args.min_sse_len, use_hk=args.use_hk)
+                if not new:
+                    print(f"WARNING: no SSEs found in {path}",
+                          file=sys.stderr)
+                entries.extend(new)
+                continue
+            from .builder import build_entry
+
+            e = build_entry(
+                struct, name=name1 or _default_name(path),
+                include_310=args.incl_310, include_pi=args.incl_pi,
+                min_sse_len=args.min_sse_len, use_hk=args.use_hk,
+                sse_id_list=sse_id_list, permutation=perm)
         except Exception as exc:  # keep walking the tree
             print(f"ERROR: {path}: {exc}", file=sys.stderr)
             continue

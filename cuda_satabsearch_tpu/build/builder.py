@@ -99,6 +99,37 @@ def build_entry(struct: PDBStructure, name: str | None = None,
         sses = [sses[i - 1] for i in sse_id_list if 1 <= i <= len(sses)]
     if permutation:
         sses = [sses[i] for i in permutation]
+    return entry_from_sses(sses, name if name is not None else struct.pdbid,
+                           use_hk=use_hk)
+
+
+def build_domain_entries(struct: PDBStructure, domains,
+                         name: str | None = None,
+                         include_310: bool = True, include_pi: bool = True,
+                         min_sse_len: int | None = None,
+                         use_hk: bool = False) -> list[TableauEntry]:
+    """One entry per domain (buildtableauxdb.py -p).  SSEs are assigned
+    whole to the domain holding most of their residues
+    (build/domains.py); multi-domain entries are named
+    ``name + str(index)`` (convdb2.py:193-195)."""
+    from .domains import split_sses_by_domain
+
+    if name is None:
+        name = struct.pdbid
+    sses = extract_sses(struct, include_310, include_pi, min_sse_len)
+    groups = split_sses_by_domain(sses, domains)
+    out = []
+    for i, (_dom, dom_sses) in enumerate(groups):
+        ename = name + (str(i) if len(groups) > 1 else "")
+        e = entry_from_sses(dom_sses, ename, use_hk=use_hk)
+        if e is not None:
+            out.append(e)
+    return out
+
+
+def entry_from_sses(sses: list[SSE], name: str,
+                    use_hk: bool = False) -> TableauEntry | None:
+    """Tableau + distance-matrix entry from an SSE list; None if empty."""
     n = len(sses)
     if n == 0:
         return None
@@ -147,22 +178,26 @@ def build_entry(struct: PDBStructure, name: str | None = None,
             dmat[i, j] = dmat[j, i] = d
 
     np.fill_diagonal(dmat, types.astype(np.float32))
-    if name is None:
-        name = struct.pdbid
     return TableauEntry(name=name, order=n, tabhi=tabhi, tablo=tablo,
                         types=types, dmat=dmat)
+
+
+def default_name(path: str) -> str:
+    """Entry id from a PDB file path: stem sans .gz/.ent/.pdb and any
+    'pdb' prefix (tableaubuild.py:883-886 naming convention)."""
+    base = os.path.basename(path)
+    for suf in (".gz", ".ent", ".pdb"):
+        if base.endswith(suf):
+            base = base[:-len(suf)]
+    if base.startswith("pdb"):
+        base = base[3:]
+    return base
 
 
 def build_from_file(path: str, name: str | None = None, **kw
                     ) -> TableauEntry | None:
     """Entry from a PDB/ASTRAL file; name defaults to the file stem."""
     if name is None:
-        base = os.path.basename(path)
-        for suf in (".gz", ".ent", ".pdb"):
-            if base.endswith(suf):
-                base = base[:-len(suf)]
-        if base.startswith("pdb"):
-            base = base[3:]
-        name = base
+        name = default_name(path)
     struct = read_pdb(path)
     return build_entry(struct, name=name, **kw)

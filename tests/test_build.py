@@ -221,3 +221,117 @@ def test_secstruct_missing_program():
     if find_program("dssp") is None:
         with _pytest.raises(RuntimeError):
             run_secstruct("/tmp/x.pdb", "dssp")
+
+
+# ---------------------------------------------------------------------------
+# domain decomposition (ptdomain.py twins)
+# ---------------------------------------------------------------------------
+
+def test_parse_ddomain_output():
+    from cuda_satabsearch_tpu.build.domains import parse_ddomain_output
+    out = """\
+AUTHORS-trained parameters
+  1  A     3  A   109
+  2  A   110  A   200
+SCOP-trained parameters
+  1  A     3  A   200
+"""
+    doms = parse_ddomain_output(io.StringIO(out))
+    assert len(doms) == 2
+    assert str(doms[0]) == "A:3-A:109"
+    assert doms[1].contains("A", 150) and not doms[1].contains("A", 50)
+    # single domain -> SINGLE sentinel; blank chain -> '-'
+    doms = parse_ddomain_output(io.StringIO(
+        "AUTHORS-trained parameters\n  1    3  109\n"))
+    assert doms[0].single
+    # cross-chain segment splits into open-ended per-chain segments
+    doms = parse_ddomain_output(io.StringIO(
+        "AUTHORS-trained parameters\n"
+        "  1  A    11  B     7\n  2  B     8  B   138\n"))
+    assert doms[0].contains("A", 9999) and doms[0].contains("B", 5)
+    assert not doms[0].contains("B", 10)
+
+
+def test_read_cath_domains(tmp_path):
+    from cuda_satabsearch_tpu.build.domains import (NotInCATH,
+                                                    read_cath_domains)
+    cdf = tmp_path / "CathDomall"
+    cdf.write_text(
+        "# comment\n"
+        "1chmA  D02 F00  1  A    2 - A  156 -  1  A  157 - A  402 -\n"
+        "1abcA  D01 F00  2  A    1 - A   50 -  A   90 - A  120 -\n"
+        "9zzz0  D01 F00  1  0    5 - 0   60 -\n")
+    doms = read_cath_domains(str(cdf), "1chm")
+    assert [d.domainid for d in doms] == ["A1", "A2"]
+    assert doms[0].contains("A", 2) and doms[0].contains("A", 156)
+    assert doms[1].contains("A", 157) and not doms[1].contains("A", 10)
+    # two segments in one domain
+    doms = read_cath_domains(str(cdf), "1ABC")
+    assert len(doms) == 1
+    assert doms[0].contains("A", 30) and doms[0].contains("A", 100)
+    assert not doms[0].contains("A", 70)
+    # '0' chain char (old blank) -> chain A
+    doms = read_cath_domains(str(cdf), "9zzz")
+    assert doms[0].contains("A", 30)
+    with pytest.raises(NotInCATH):
+        read_cath_domains(str(cdf), "7xxx")
+
+
+def test_split_sses_by_domain(tmp_path):
+    from cuda_satabsearch_tpu.build.domains import (Domain, Segment,
+                                                    split_sses_by_domain)
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    struct = read_pdb(str(pdb_path))
+    from cuda_satabsearch_tpu.build.builder import extract_sses
+
+    sses = extract_sses(struct)  # residues 1-12, 20-31, 40-51, 60-65
+    doms = [Domain("A1", [Segment("A", 1, 35)]),
+            Domain("A2", [Segment("A", 36, 200)])]
+    groups = split_sses_by_domain(sses, doms)
+    assert [d.domainid for d, _ in groups] == ["A1", "A2"]
+    assert [len(g) for _, g in groups] == [2, 2]
+    # a boundary-crossing SSE goes whole to the majority domain
+    doms = [Domain("A1", [Segment("A", 1, 45)]),
+            Domain("A2", [Segment("A", 46, 200)])]
+    groups = split_sses_by_domain(sses, doms)  # helix3 = 40-51: 6 vs 6
+    # tie goes to the earlier domain (reference: 'arbitrarily domain')
+    assert [len(g) for _, g in groups] == [3, 1]
+
+
+def test_build_domain_entries(tmp_path):
+    from cuda_satabsearch_tpu.build.builder import build_domain_entries
+    from cuda_satabsearch_tpu.build.domains import SINGLE, Domain, Segment
+
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    struct = read_pdb(str(pdb_path))
+    doms = [Domain("A1", [Segment("A", 1, 35)]),
+            Domain("A2", [Segment("A", 36, 200)])]
+    entries = build_domain_entries(struct, doms, name="1xyz")
+    assert [e.name for e in entries] == ["1xyz0", "1xyz1"]
+    assert [e.order for e in entries] == [2, 2]
+    # single-domain sentinel keeps the plain name and all SSEs
+    entries = build_domain_entries(struct, [SINGLE], name="1xyz")
+    assert [e.name for e in entries] == ["1xyz"]
+    assert entries[0].order == 4
+
+
+def test_build_cli_cath_domains(tmp_path):
+    pdb_path = tmp_path / "pdb1xyz.ent"
+    pdb_path.write_text(make_synthetic_pdb())
+    cdf = tmp_path / "CathDomall"
+    cdf.write_text(
+        "1xyzA  D02 F00  1  A    1 - A   35 -  1  A   36 - A  200 -\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "cuda_satabsearch_tpu.build",
+         "-p", f"cath:{cdf}", str(pdb_path)],
+        capture_output=True, text=True, check=True,
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ".",
+             "JAX_PLATFORMS": "cpu"}, cwd=".")
+    import io as _io
+
+    from cuda_satabsearch_tpu.io.parser import iter_entries
+
+    entries = list(iter_entries(_io.StringIO(out.stdout)))
+    assert [e.name for e in entries] == ["1xyz0", "1xyz1"]
