@@ -60,14 +60,17 @@ C_LANES = 128
 
 
 # Measured on the real chip (586-entry benchmark, 8-SSE query,
-# scripts/sweep_kernel.py): best (group, fetch) per bucket width.
-# Group is a preference; the factory falls back to the largest
-# power-of-two divisor of E at or below it.
-TUNED_CONFIG = {8: (32, "bd"), 16: (16, "bd"), 24: (16, "gdot"),
-                32: (8, "gdot"), 40: (8, "gdot"), 48: (8, "gdot"),
-                56: (8, "gdot"), 64: (4, "gdot"), 72: (4, "gdot"),
-                80: (2, "gdot"), 88: (2, "gdot"), 96: (2, "gdot"),
-                104: (2, "gdot"), 112: (2, "gdot")}
+# scripts/sweep2.py — drain-based timing, scan-amortized dispatch):
+# best (group, fetch, cum) per bucket width.  Group is a preference;
+# the factory falls back to the largest power-of-two divisor of E at
+# or below it.
+TUNED_CONFIG = {8: (16, "bd", "mxu"), 16: (8, "bd", "roll"),
+                24: (4, "bd", "roll"), 32: (8, "bd", "mxu"),
+                40: (8, "bd", "mxu"), 48: (4, "gdot", "mxu"),
+                56: (4, "gdot", "mxu"), 64: (4, "gdot", "mxu"),
+                72: (4, "gdot", "mxu"), 80: (2, "gdot", "mxu"),
+                88: (2, "gdot", "mxu"), 96: (2, "gdot", "mxu"),
+                104: (2, "gdot", "mxu"), 112: (2, "gdot", "mxu")}
 
 
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
@@ -82,7 +85,10 @@ def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
     while gmax * 2 <= qcap:
         gmax *= 2
     if cap is None and d2 in TUNED_CONFIG:
-        return max(1, min(TUNED_CONFIG[d2][0], gmax))
+        g = TUNED_CONFIG[d2][0]
+        while g > 1 and g > gmax:
+            g //= 2
+        return max(1, g)
     w = max(d2, n1r)
     if cap is None:
         cap = 128 if w <= 16 else 256 if w <= 64 else 224
@@ -108,20 +114,43 @@ def make_qb2(qtabp: np.ndarray, qdmat: np.ndarray, G: int):
             bot.reshape(n1r * G, G * n1r).astype(BF16))
 
 
-def choose_fetch(d2: int) -> str:
+def make_qb2_batched(qtabps, qdmats, G: int):
+    """make_qb2 over a stacked query axis: [K, n1r, n1r] -> two
+    [K, n1r*G, G*n1r] scattered matrices."""
+    eye = jnp.eye(G, dtype=F32)
+    K, n1r = qtabps.shape[:2]
+    top = jnp.einsum("qki,gh->qkghi", jnp.asarray(qtabps, F32), eye)
+    bot = jnp.einsum("qki,gh->qkghi", jnp.asarray(qdmats, F32), eye)
+    return (top.reshape(K, n1r * G, G * n1r).astype(BF16),
+            bot.reshape(K, n1r * G, G * n1r).astype(BF16))
+
+
+def choose_fetch(d2: int, group: int | None = None) -> str:
     """Column-fetch strategy for the one-hot tableau/distance reads.
 
     'bd': one [G*d2, G*d2] block-diagonal MXU dot per column — perfectly
     MXU-shaped but does G x the useful FLOPs (the off-diagonal blocks
     are zero).  'gdot': G independent [d2, d2] x [d2, C] dots — G x fewer
     FLOPs but each small dot underfills the 128-wide systolic array.
-    Measured on real HW (scripts/sweep_kernel.py): bd wins for narrow
-    buckets (d2 <= 16, where the per-dot issue cost of G tiny dots
-    dominates), gdot from d2 >= 24 (the bd dot is quadratic in G*d2).
+    Measured on real HW (scripts/sweep2.py): bd wins up to G*d2 = 256
+    (the per-dot issue cost of G tiny dots dominates), gdot beyond
+    (the bd dot is quadratic in G*d2).
     """
     if d2 in TUNED_CONFIG:
-        return TUNED_CONFIG[d2][1]
+        fetch = TUNED_CONFIG[d2][1]
+        if fetch == "bd" and group is not None and group * d2 > 512:
+            return "gdot"  # bd scratch would not be VMEM-sized
+        return fetch
+    if group is not None:
+        return "bd" if group * d2 <= 256 else "gdot"
     return "bd" if d2 <= 16 else "gdot"
+
+
+def choose_cum(d2: int) -> str:
+    """Candidate-rank cumulative-sum strategy (see ``cum`` below)."""
+    if d2 in TUNED_CONFIG:
+        return TUNED_CONFIG[d2][2]
+    return "mxu" if d2 >= 24 else "roll"
 
 
 @functools.lru_cache(maxsize=None)
@@ -133,18 +162,34 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                lsoln: bool = True,
                                fetch: str = "auto",
                                group: int | None = None,
-                               cum: str = "auto"):
+                               cum: str = "auto",
+                               nq: int = 1,
+                               batched_api: bool = False):
     """Build the grouped pallas_call for an E-entry chunk (G | E).
 
-    Returns fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtypesv_i32[NQ,1],
-               qb2t_bf16[n1r*G, NQ], qb2d_bf16[n1r*G, NQ],
-               types2_i32[E*d2, 1],
-               tab2p_f32[E*d2, d2], dmat2_f32[E*d2, d2], rng_input)
+    With nq == 1, returns
+        fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtypesv_i32[NQ,1],
+           qb2t_bf16[n1r*G, NQ], qb2d_bf16[n1r*G, NQ],
+           types2_i32[E*d2, 1],
+           tab2p_f32[E*d2, d2], dmat2_f32[E*d2, d2], rng_input)
          -> (scores_i32[E//G, G, C], bestmaps_i32[E//G, G*n1r, 1])
             (bestmaps only when lsoln)
 
-    rng_input: uniforms_f32[E//G, r_seq, P*G, C] (slot-major) for
-    "supplied"; (seed, tag, indices[E]) int32[2+E] (SMEM) for "pltpu".
+    With nq > 1, a QUERY GRID AXIS batches nq same-order queries into
+    this one pallas_call (grid (E//G, nq, r_seq), query blocks indexed
+    by the middle grid dim) — the per-call fixed cost (launch, VMEM
+    alloc, glue ops) is paid once per chunk instead of once per
+    (chunk, query).  Query-side args then carry a leading nq axis and a
+    ``tags_i32[nq]`` arg replaces the packed tag slot:
+        fn(n2, qtypes[nq,n1r], qtypesv[nq,NQ,1], qb2t[nq,...],
+           qb2d[nq,...], types2, tab2p, dmat2, rng_input, tags)
+         -> (scores_i32[nq, E//G, G, C], bestmaps[nq, E//G, NQ, 1])
+    RNG streams are keyed (seed, tag, entry, restart) exactly as in the
+    nq == 1 path, so batched == sequential bitwise.
+
+    rng_input: uniforms_f32[(nq,) E//G, r_seq, P*G, C] (slot-major) for
+    "supplied"; (seed, tag, indices[E]) int32[2+E] (SMEM) for "pltpu"
+    (tag slot ignored when nq > 1 — tags come from the tags arg).
 
     ``cum``: candidate-rank cumulative sum — "mxu" contracts the 0/1
     candidate mask with a lower-triangular ones matrix (exact in bf16:
@@ -154,11 +199,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     maxiter = p.maxiter
     P = n1 + 3 * maxiter
     n1r = round8(n1)
-    if fetch == "auto":
-        fetch = choose_fetch(d2)
-    if cum == "auto":
-        cum = "mxu" if d2 >= 24 else "roll"
     G = min(group if group is not None else choose_group(d2, n1r), E)
+    if fetch == "auto":
+        fetch = choose_fetch(d2, G)
+    if cum == "auto":
+        cum = choose_cum(d2)
     while E % G:  # fall back to the largest divisor of E at or below
         G -= 1   # the tuned preference (chunks are padded to pow2/16x)
     assert E % G == 0, (E, G)
@@ -270,7 +315,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
     def kernel(*refs):
         (n2_ref, qtypes_ref, qtypesv_ref, qb2t_ref, qb2d_ref, types2_ref,
-         tab2p_ref, dmat2_ref, rng_ref, outscore_ref, *rest) = refs
+         tab2p_ref, dmat2_ref, rng_ref, tags_ref, outscore_ref,
+         *rest) = refs
         rest = list(rest)
         outbest_ref = rest.pop(0) if lsoln else None
         ssemap, revmap, score, maxscore = rest[:4]
@@ -288,7 +334,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         tril = rest.pop(0) if cum == "mxu" else None
 
         eg = pl.program_id(0)
-        r = pl.program_id(1)
+        q = pl.program_id(1)
+        r = pl.program_id(2)
 
         # ---- per-entry order column [G, C]
         n2col = jnp.concatenate(
@@ -297,7 +344,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
         if cum == "mxu":
             # lower-triangular ones (block-diagonal for 'bd'), built once
-            @pl.when(jnp.logical_and(eg == 0, r == 0))
+            @pl.when(jnp.logical_and(eg == 0,
+                                     jnp.logical_and(q == 0, r == 0)))
             def _():
                 shape = tril.shape  # bd: [DQ, DQ]; gdot: [DQ, d2]
                 ri = lax.broadcasted_iota(I32, shape, 0)
@@ -308,8 +356,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 tril[...] = jnp.where(cond, 1.0, 0.0).astype(BF16)
 
         if fetch == "bd":
-            # ---- block-diagonal tables, built once per grid step
-            @pl.when(r == 0)
+            # ---- block-diagonal tables, built once per entry group
+            # (grid order (eg, q, r): the q == 0 build survives the
+            # whole q sweep for this eg)
+            @pl.when(jnp.logical_and(q == 0, r == 0))
             def _():
                 bd_tab[...] = jnp.zeros((DQ, DQ), BF16)
                 bd_dmat[...] = jnp.zeros((DQ, DQ), BF16)
@@ -327,7 +377,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 bestmap[...] = jnp.full((NQ, C), -1, I32)
 
         if rng_mode == "pltpu":
-            s1 = (rng_ref[0] * I32(-1640531527) + rng_ref[1] * I32(97))
+            s1 = (rng_ref[0] * I32(-1640531527) + tags_ref[q] * I32(97))
             s2 = (rng_ref[2 + eg * G] * I32(2057) + r * I32(-1105766181))
             pltpu.prng_seed(s1, s2)
             bits = pltpu.prng_random_bits((PGpad, C))
@@ -582,39 +632,45 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                     jnp.where(ohwq == 1, bestmap[...], 0), axis=1,
                     keepdims=True)
 
-    grid = (EG, r_seq)
-    out_shape = [jax.ShapeDtypeStruct((EG, G, C), jnp.int32)]
-    out_specs = [pl.BlockSpec((1, G, C), lambda e, r: (e, 0, 0),
+    # grid order (entry-group, query, restart): restarts innermost (the
+    # maxscore accumulation), queries sweep against a resident entry
+    # group (the bd tables built at q == 0 serve the whole q sweep)
+    grid = (EG, nq, r_seq)
+    out_shape = [jax.ShapeDtypeStruct((nq, EG, G, C), jnp.int32)]
+    out_specs = [pl.BlockSpec((None, 1, G, C), lambda e, q, r: (q, e, 0, 0),
                               memory_space=pltpu.VMEM)]
     if lsoln:
-        out_shape.append(jax.ShapeDtypeStruct((EG, NQ, 1), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, NQ, 1), lambda e, r: (e, 0, 0),
+        out_shape.append(jax.ShapeDtypeStruct((nq, EG, NQ, 1), jnp.int32))
+        out_specs.append(pl.BlockSpec((None, 1, NQ, 1),
+                                      lambda e, q, r: (q, e, 0, 0),
                                       memory_space=pltpu.VMEM))
     in_specs = [
-        pl.BlockSpec((E,), lambda e, r: (0,),
+        pl.BlockSpec((E,), lambda e, q, r: (0,),
                      memory_space=pltpu.SMEM),  # n2
-        pl.BlockSpec((n1r,), lambda e, r: (0,),
+        pl.BlockSpec((None, n1r), lambda e, q, r: (q, 0),
                      memory_space=pltpu.SMEM),  # qtypes scalars
-        pl.BlockSpec((NQ, 1), lambda e, r: (0, 0),
+        pl.BlockSpec((None, NQ, 1), lambda e, q, r: (q, 0, 0),
                      memory_space=pltpu.VMEM),  # qtypes tiled vector
-        pl.BlockSpec((NQH, NQ), lambda e, r: (0, 0),
+        pl.BlockSpec((None, NQH, NQ), lambda e, q, r: (q, 0, 0),
                      memory_space=pltpu.VMEM),  # qb2t (codes, bf16)
-        pl.BlockSpec((NQH, NQ), lambda e, r: (0, 0),
-                     memory_space=pltpu.VMEM),  # qb2d (distances, f32)
-        pl.BlockSpec((DQ, 1), lambda e, r: (e, 0),
+        pl.BlockSpec((None, NQH, NQ), lambda e, q, r: (q, 0, 0),
+                     memory_space=pltpu.VMEM),  # qb2d (distances, bf16)
+        pl.BlockSpec((DQ, 1), lambda e, q, r: (e, 0),
                      memory_space=pltpu.VMEM),  # types2 flat [E*d2, 1]
-        pl.BlockSpec((DQ, d2), lambda e, r: (e, 0),
+        pl.BlockSpec((DQ, d2), lambda e, q, r: (e, 0),
                      memory_space=pltpu.VMEM),  # tab2p flat stacked
-        pl.BlockSpec((DQ, d2), lambda e, r: (e, 0),
+        pl.BlockSpec((DQ, d2), lambda e, q, r: (e, 0),
                      memory_space=pltpu.VMEM),  # dmat2 flat stacked
     ]
     if rng_mode == "pltpu":
-        in_specs.append(pl.BlockSpec((2 + E,), lambda e, r: (0,),
+        in_specs.append(pl.BlockSpec((2 + E,), lambda e, q, r: (0,),
                                      memory_space=pltpu.SMEM))
     else:
-        in_specs.append(pl.BlockSpec((1, 1, PG, C),
-                                     lambda e, r: (e, r, 0, 0),
+        in_specs.append(pl.BlockSpec((None, 1, 1, PG, C),
+                                     lambda e, q, r: (q, e, r, 0, 0),
                                      memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((nq,), lambda e, q, r: (0,),
+                                 memory_space=pltpu.SMEM))  # tags
     scratch = [
         pltpu.VMEM((NQ, C), jnp.int32),  # ssemap
         pltpu.VMEM((DQ, C), jnp.int32),  # revmap
@@ -646,11 +702,27 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         scratch_shapes=scratch,
         interpret=interpret,
     )
-    if lsoln:
-        return call, G
 
-    def call_noln(*args):
-        (scores,) = call(*args)
+    def batched(n2, qts, qtvs, qb2ts, qb2ds, t2, tp, dm, rng_in, tags):
+        out = call(n2, qts, qtvs, qb2ts, qb2ds, t2, tp, dm, rng_in,
+                   jnp.asarray(tags, I32))
+        if lsoln:
+            return out
+        (scores,) = out
         return scores, None
 
-    return call_noln, G
+    if nq > 1 or batched_api:
+        return batched, G
+
+    def single(n2, qt, qtv, qb2t, qb2d, t2, tp, dm, rng_in):
+        if rng_mode == "pltpu":
+            tags = rng_in[1:2].astype(I32)
+            rng = rng_in
+        else:
+            tags = jnp.zeros((1,), I32)
+            rng = rng_in[None]
+        s, m = batched(n2, qt[None], qtv[None], qb2t[None], qb2d[None],
+                       t2, tp, dm, rng, tags)
+        return s[0], (None if m is None else m[0])
+
+    return single, G

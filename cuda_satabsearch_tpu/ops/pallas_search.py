@@ -504,15 +504,94 @@ def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
     return jax.jit(f)
 
 
-K_TILE = 8  # max scan length per device program
+@functools.lru_cache(maxsize=None)
+def _make_db_fnK(chunk_shapes: tuple, n1: int, K: int, c_par: int,
+                 r_seq: int, lorder: bool, params: SAParams,
+                 interpret: bool, rng_mode: str, lsoln: bool = False):
+    """K-query batched whole-DB search: the kernel's query grid axis
+    runs all K queries in ONE pallas_call per chunk (total pallas_calls
+    = #chunks, vs K x #chunks under the scan path), so the per-call
+    fixed cost — launch, VMEM setup, the glue ops around each call —
+    is paid once per chunk.  Outputs match _make_db_scan_fn2's
+    ([K, total] scores, [K, total, n1r] maps); RNG streams are
+    identical to the sequential path (keyed by per-query tags)."""
+    from .pallas_sa2 import make_pallas2_bucket_search, make_qb2_batched
+
+    n1r = round8(n1)
+    P = n1 + 3 * params.maxiter
+    kerns = {}
+    for E, d2 in set(chunk_shapes):
+        kerns[(E, d2)] = make_pallas2_bucket_search(
+            E, n1, d2, c_par, r_seq, lorder, params, interpret,
+            rng_mode, lsoln, nq=K, batched_api=True)
+
+    def f(seed, tags, qts, qtabps, qdmats, chunk_args):
+        qb2s = {}
+        out_s = []
+        out_m = []
+        for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
+                chunk_shapes, chunk_args):
+            kern, G = kerns[(E, d2)]
+            if G not in qb2s:
+                qb2s[G] = (make_qb2_batched(qtabps, qdmats, G),
+                           jnp.tile(qts.astype(jnp.int32)[:, :, None],
+                                    (1, G, 1)))
+            (qb2t, qb2d), qtvs = qb2s[G]
+            if rng_mode == "pltpu":
+                rng_in = jnp.concatenate([
+                    jnp.asarray(seed, jnp.int32)[None],
+                    jnp.zeros((1,), jnp.int32),  # tag slot unused
+                    indices.astype(jnp.int32)])
+            else:
+                def per_tag(tag):
+                    keys = jax.vmap(lambda i: jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(seed), tag),
+                        i))(indices)
+
+                    def per_entry(key):
+                        def per_restart(r):
+                            u = jax.random.uniform(
+                                jax.random.fold_in(key, r), (P, c_par),
+                                dtype=jnp.float32)
+                            u = log_acc_slots(u, n1)
+                            if c_par < C_LANES:
+                                u = jnp.pad(
+                                    u, ((0, 0), (0, C_LANES - c_par)))
+                            return u
+                        return jax.vmap(per_restart)(
+                            jnp.arange(r_seq, dtype=jnp.uint32))
+
+                    u4 = jax.vmap(per_entry)(keys)  # [E, r, P, C]
+                    return (u4.reshape(E // G, G, r_seq, P, C_LANES)
+                            .transpose(0, 2, 3, 1, 4)
+                            .reshape(E // G, r_seq, P * G, C_LANES))
+
+                rng_in = jax.vmap(per_tag)(tags)  # [K, EG, r, PG, C]
+            S, M = kern(n2, qts.astype(jnp.int32), qtvs, qb2t, qb2d,
+                        types2, tab2p, dmat2, rng_in, tags)
+            out_s.append(S[..., 0].reshape(K, -1))  # [K, E]
+            if lsoln:
+                out_m.append(M[..., 0].reshape(K, -1, n1r))
+        scores = jnp.concatenate(out_s, axis=1)  # [K, total]
+        if not lsoln:
+            return scores, None
+        return scores, jnp.concatenate(out_m, axis=1)
+
+    return jax.jit(f)
+
+
+K_TILE = 32  # max scan length per device program
 
 
 def _tile_plan(K: int) -> list[int]:
-    """Split K queries into power-of-two scan tiles (8/4/2/1).
+    """Split K queries into power-of-two scan tiles (32/16/8/4/2/1).
 
-    A fixed tile of 8 padded 1-query batches to 8 full-DB searches;
+    A fixed tile would pad 1-query batches to full-DB multiples;
     power-of-two tiles bound padding waste to < 2x while keeping the
-    number of distinct compiled programs at most 4 (one per tile size).
+    number of distinct compiled programs at most 6 (one per tile size).
+    Large tiles matter on remote-tunnel TPUs: each dispatch costs a
+    ~25 ms round trip, so a 32-query stream in ONE program runs at
+    device speed while 4 x 8-query dispatches pay 4 round trips.
     """
     plan = []
     rem = K
@@ -593,13 +672,20 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
     qts = np.stack(qts)
     qtabps = np.stack(qtabps)
     qdmats = np.stack(qdmats)
-    fn = _make_db_scan_fn2(tuple(shapes), n1, c_par, r_seq, lorder,
-                           params, interpret, rng_mode, lsoln)
     parts = []
     t0 = 0
     for tile in tiles:  # jit specializes once per distinct tile length
         sl = slice(t0, t0 + tile)
         t0 += tile
+        if mesh is None:
+            # query grid axis: all `tile` queries in one pallas_call
+            # per chunk
+            fn = _make_db_fnK(tuple(shapes), n1, tile, c_par, r_seq,
+                              lorder, params, interpret, rng_mode, lsoln)
+        else:
+            fn = _make_db_scan_fn2(tuple(shapes), n1, c_par, r_seq,
+                                   lorder, params, interpret, rng_mode,
+                                   lsoln)
         parts.append(fn(seed, jnp.asarray(tags[sl], jnp.int32),
                         jnp.asarray(qts[sl]), jnp.asarray(qtabps[sl]),
                         jnp.asarray(qdmats[sl]), chunk_args))

@@ -15,6 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cuda_satabsearch_tpu.core.cache import enable_compile_cache
+
+enable_compile_cache()
+
 from cuda_satabsearch_tpu.io.parser import read_database, parse_search_input
 from cuda_satabsearch_tpu.io.pack import pack_database, pack_query
 from cuda_satabsearch_tpu.ops.pallas_search import prepare_bucket_pallas2

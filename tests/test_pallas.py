@@ -232,3 +232,90 @@ def test_kernel_v2_multi_bucket():
         eb[b.index[b.index >= 0]] = m
     np.testing.assert_array_equal(ks, es)
     np.testing.assert_array_equal(kb, eb)
+
+
+def test_kernel_v2_query_batched():
+    """nq > 1 query grid axis == sequential single calls, bitwise
+    (supplied streams, interpret)."""
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        make_pallas2_bucket_search, make_qb2)
+    from cuda_satabsearch_tpu.ops.pallas_sa import (pack_tab,
+                                                    prepare_query, round8)
+
+    rng = np.random.default_rng(31)
+    entries = [random_entry(rng, int(n), f"e{i}")
+               for i, n in enumerate(rng.integers(4, 16, size=8))]
+    queries = [pack_query(random_entry(rng, 7, f"q{i}")) for i in range(3)]
+    d2, c_par, r_seq, n1 = 16, 16, 1, 7
+    E = len(entries)
+    n1r = round8(n1)
+    P = n1 + 3 * 100
+    types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+    tab2p = np.stack([pack_tab(tabhi[i], tablo[i]) for i in range(E)])
+
+    single, G1 = make_pallas2_bucket_search(
+        E, n1, d2, c_par, r_seq, True, interpret=True,
+        rng_mode="supplied", lsoln=True)
+    batched, G3 = make_pallas2_bucket_search(
+        E, n1, d2, c_par, r_seq, True, interpret=True,
+        rng_mode="supplied", lsoln=True, nq=3)
+    assert G1 == G3
+    G = G1
+    EG = E // G
+    PG = P * G
+
+    t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
+    tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
+    dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
+    urng = np.random.default_rng(5)
+
+    qargs, unis, singles = [], [], []
+    for q in queries:
+        qtypes, _qtv, qtabp, qdmat = prepare_query(q, n1r)
+        qb2t, qb2d = make_qb2(qtabp, qdmat, G)
+        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
+        uni = jnp.asarray(
+            urng.random((EG, r_seq, PG, 128)).astype(np.float32))
+        s, m = single(jnp.asarray(orders), jnp.asarray(qtypes), qtv,
+                      qb2t, qb2d, t2flat, tpflat, dmflat, uni)
+        qargs.append((jnp.asarray(qtypes), qtv, qb2t, qb2d))
+        unis.append(uni)
+        singles.append((np.asarray(s), np.asarray(m)))
+
+    qts = jnp.stack([a[0] for a in qargs])
+    qtvs = jnp.stack([a[1] for a in qargs])
+    qb2ts = jnp.stack([a[2] for a in qargs])
+    qb2ds = jnp.stack([a[3] for a in qargs])
+    sb, mb = batched(jnp.asarray(orders), qts, qtvs, qb2ts, qb2ds,
+                     t2flat, tpflat, dmflat, jnp.stack(unis),
+                     jnp.zeros((3,), jnp.int32))
+    sb, mb = np.asarray(sb), np.asarray(mb)
+    for qi, (s, m) in enumerate(singles):
+        np.testing.assert_array_equal(sb[qi], s)
+        np.testing.assert_array_equal(mb[qi], m)
+
+
+def test_db_multi_batched_matches_single():
+    """dispatch_db_pallas2_multi (query-batched kernels) == per-query
+    dispatch_db_pallas2, bitwise, file order (supplied streams,
+    interpret)."""
+    from cuda_satabsearch_tpu.io.pack import pack_database
+    from cuda_satabsearch_tpu.ops.pallas_search import (
+        assemble_db_pallas2, assemble_db_pallas2_multi,
+        dispatch_db_pallas2, dispatch_db_pallas2_multi)
+
+    rng = np.random.default_rng(41)
+    entries = [random_entry(rng, int(n), f"e{i}")
+               for i, n in enumerate(rng.integers(4, 30, size=13))]
+    queries = [pack_query(random_entry(rng, 6, f"q{i}")) for i in range(3)]
+    db = pack_database(entries, buckets=(16, 32, 112))
+    kw = dict(maxstart=16, lorder=True, seed=9, c_max=16,
+              interpret=True, rng_mode="supplied", lsoln=True)
+
+    multi = assemble_db_pallas2_multi(dispatch_db_pallas2_multi(
+        queries, db, query_tags=[5, 6, 7], **kw))
+    for qi, q in enumerate(queries):
+        s1, m1 = assemble_db_pallas2(dispatch_db_pallas2(
+            q, db, query_tag=5 + qi, **kw))
+        np.testing.assert_array_equal(multi[qi][0], s1)
+        np.testing.assert_array_equal(multi[qi][1], m1)
