@@ -14,6 +14,9 @@ matching how the reference reports its kernel-only GPU execution time.
 Extra modes (stderr-only, do not change the headline JSON):
   --large N     also run a synthetic N-entry DB (ASTRAL-like size mix,
                 reference full-DB baseline 1903.2 M it/s)
+  --big-query   also run the 19-SSE d2phlb1 query at r=4096 (reference
+                baseline: 145.3 M it/s on a Tesla M2070,
+                old/nvcc_src_cuda5/gpucudaSaTabsearch_fermi.e1462444)
   --restarts R  restart count (headline default 128)
   --backend B   pallas | xla | auto
 """
@@ -30,6 +33,7 @@ FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tests", "fixtures")
 BASELINE_M_IT_S = 1264.7  # A100, same workload (README_example_usage.txt:85)
 BASELINE_LARGE = 1903.2  # A100, 14291-entry ASTRAL (README_example:241-242)
+BASELINE_BIGQ = 145.3  # M2070, 19-SSE r=4096 small pass (fermi.e1462444)
 REPEATS = 5
 
 
@@ -103,6 +107,8 @@ def main():
                     choices=("auto", "pallas", "xla"))
     ap.add_argument("--large", type=int, default=0,
                     help="also bench a synthetic N-entry DB")
+    ap.add_argument("--big-query", action="store_true",
+                    help="also bench the 19-SSE d2phlb1 query at r=4096")
     args = ap.parse_args()
 
     from cuda_satabsearch_tpu.io.pack import pack_query
@@ -129,6 +135,15 @@ def main():
         print(f"# large db: {big.nentries} entries", file=sys.stderr)
         run_search(big, query, args.restarts, f"large{args.large}",
                    BASELINE_LARGE)
+
+    if args.big_query:
+        with open(os.path.join(FIXTURES, "d2phlb1.input")) as fp:
+            bq = pack_query(parse_search_input(fp).queries[0])
+        sess4k = SearchSession(dbfile, SessionConfig(
+            maxstart=4096, backend=args.backend))
+        print(f"# big query: {bq.name} ({bq.order} SSEs), r=4096",
+              file=sys.stderr)
+        run_search(sess4k, bq, 4096, "d2phlb1_r4096", BASELINE_BIGQ)
 
     print(json.dumps({
         "metric": "sa_search_throughput_586db_8sse_r128",
