@@ -455,7 +455,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         def thinit_body(i, carry):
             j, stopped = carry  # [G, C] each; stopped int32
             u_i = read_u(i, 1)  # [G, C]
-            t1 = qtypes_ref[i]
+            t1 = qtypes_ref[q, i]
             attempt = (u_i < p.init_matchprob) & (stopped == 0)
             cmask = ((l_idx() >= rep_d(j)) & (types2 == t1)
                      & (l_idx() < rep_d(n2col)))
@@ -647,8 +647,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     in_specs = [
         pl.BlockSpec((E,), lambda e, q, r: (0,),
                      memory_space=pltpu.SMEM),  # n2
-        pl.BlockSpec((None, n1r), lambda e, q, r: (q, 0),
+        pl.BlockSpec((nq, n1r), lambda e, q, r: (0, 0),
                      memory_space=pltpu.SMEM),  # qtypes scalars
+        # (whole-array SMEM block: Mosaic rejects squeezed SMEM blocks
+        # whose trailing dim is neither 128-divisible nor full)
         pl.BlockSpec((None, NQ, 1), lambda e, q, r: (q, 0, 0),
                      memory_space=pltpu.VMEM),  # qtypes tiled vector
         pl.BlockSpec((None, NQH, NQ), lambda e, q, r: (q, 0, 0),
