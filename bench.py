@@ -109,7 +109,36 @@ def main():
                     help="also bench a synthetic N-entry DB")
     ap.add_argument("--big-query", action="store_true",
                     help="also bench the 19-SSE d2phlb1 query at r=4096")
+    ap.add_argument("--paritycheck", action="store_true",
+                    help="run the on-HW bitwise parity gate "
+                         "(scripts/hw_paritycheck.py) and write PARITY.json")
     args = ap.parse_args()
+
+    if args.paritycheck:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import jax
+        from hw_paritycheck import run as parity_run
+
+        t0 = time.perf_counter()
+        parity_run()
+        artifact = {
+            "gate": "pallas-vs-xla bitwise (scores+maps), supplied RNG, "
+                    "n1 in {8,19,101} x lorder; batched-vs-sequential in "
+                    "supplied+pltpu modes",
+            "result": "PASS",
+            "backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind,
+            "seconds": round(time.perf_counter() - t0, 1),
+        }
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "PARITY.json")
+        with open(path, "w") as fp:
+            json.dump(artifact, fp, indent=1)
+            fp.write("\n")
+        print(json.dumps({"metric": "hw_bitwise_parity", "value": 1,
+                          "unit": "pass", "vs_baseline": 1.0}))
+        return
 
     from cuda_satabsearch_tpu.io.pack import pack_query
     from cuda_satabsearch_tpu.io.parser import parse_search_input

@@ -104,7 +104,14 @@ def parse_ddomain_output(fh) -> list[Domain]:
         else:
             print(f"WARNING: bad DDOMAIN line: {s}", file=sys.stderr)
             continue
-        r1, r2 = max(int(r1), 0), int(r2)
+        # negative residue numbers clamp to 0 and reversed same-chain
+        # ranges swap with a warning, matching the reference's recovery
+        # (ptdomain.py: the 1BMV case) instead of aborting the file
+        r1, r2 = max(int(r1), 0), max(int(r2), 0)
+        if c1 == c2 and r1 > r2:
+            print(f"WARNING: DDOMAIN segment reversed ({r1} > {r2}); "
+                  "swapping", file=sys.stderr)
+            r1, r2 = r2, r1
         if c1 == c2:
             segs = [Segment(c1, r1, r2)]
         else:  # runs off the end of c1 into c2 (e.g. 1BAR)

@@ -39,7 +39,14 @@ Item = "str | tuple[str, str]"
 
 def _dedup_max(scorelist: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """One (id, score) per id, keeping the max score — both DaliLite and
-    VAST emit multiple records per target (daliliteout2col.py:79-86)."""
+    VAST emit multiple records per target (daliliteout2col.py:79-86).
+
+    NOTE: max() is over the score STRINGS — lexicographic, so e.g.
+    '9.5' > '30.0'.  This deliberately reproduces the reference
+    daliliteout2col.py/vastout2col.py quirk (Python 2 max over string
+    scores) so converted columns match the reference's byte-for-byte;
+    it can keep the numerically smaller record when duplicate scores
+    cross a digit-count boundary."""
     out = []
     for tid, grp in groupby(sorted(scorelist), lambda t: t[0]):
         out.append((tid, max(s for _t, s in grp)))
@@ -146,8 +153,10 @@ def iter_sheba(fh: TextIO) -> Iterator:
             rows.append(line.split())
     if rows:
         yield f"# QUERYID = {rows[0][0]}"
-    for parts in rows:  # head -n -1: last row is a footer in sheba -A
-        if parts is not rows[-1] or len(rows) == 1:
+    for parts in rows:  # head -n -1: the last row is uncondition-
+        # ally dropped (footer), even when it is the only row —
+        # matching shebaout2col.sh's unconditional `head -n -1`
+        if parts is not rows[-1]:
             yield parts[2], parts[5]
 
 

@@ -99,7 +99,7 @@ _NH3D_TOPOLOGIES = """\
 3.100:10
 4.10:10 1020 1070 1080 1090 110 160 220 260 270 280 372 375 410 420 \
 450 470 480 490 520 530 540 550 70 740 790 8 800 870 91 93 940 95 950 \
-960"""
+960 990"""
 
 # Query CATH ids (Pelta et al. 2008 Additional File 1; rocrnh3d.py:50)
 NH3D_QUERIES = (

@@ -164,7 +164,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                group: int | None = None,
                                cum: str = "auto",
                                nq: int = 1,
-                               batched_api: bool = False):
+                               batched_api: bool = False,
+                               knock: frozenset = frozenset()):
     """Build the grouped pallas_call for an E-entry chunk (G | E).
 
     With nq == 1, returns
@@ -194,6 +195,12 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     ``cum``: candidate-rank cumulative sum — "mxu" contracts the 0/1
     candidate mask with a lower-triangular ones matrix (exact in bf16:
     counts <= d2), "roll" uses log2(d2) masked-roll VPU steps.
+
+    ``knock``: PROFILING ONLY — a set of kernel-stage names
+    ({"thinit", "initscore", "gather", "lorder", "fetch", "tsc",
+    "rng"}) replaced by cheap stand-ins, so wall-clock deltas
+    attribute the per-iteration budget (scripts/profile_iter.py).
+    Results are wrong under any knock.
     """
     p = params
     maxiter = p.maxiter
@@ -283,6 +290,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         qct_s/qcd_s scratch refs (Mosaic cannot lower dynamic_slice on
         a VALUE inside a loop, only dynamic ref indexing)."""
         def gather(qct, qcd, rmap_v):
+            if "gather" in knock:  # profiling stand-in
+                z = rep_d(qct[0:G]) + rep_d(qcd[0:G])
+                return z, z * 0.5
+
             def body(k, carry):
                 qs_t, qs_d = carry
                 qv_t = qct_s[pl.ds(k * G, G), :]
@@ -307,6 +318,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         return gather
 
     def unpack_tsc(packed, qhi, qlo):
+        if "tsc" in knock:  # profiling stand-in
+            return packed + qhi - qlo
         dhi = jnp.floor(packed / 8.0)
         dlo = packed - dhi * 8.0
         he = dhi == qhi
@@ -377,15 +390,20 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 bestmap[...] = jnp.full((NQ, C), -1, I32)
 
         if rng_mode == "pltpu":
-            s1 = (rng_ref[0] * I32(-1640531527) + tags_ref[q] * I32(97))
-            s2 = (rng_ref[2 + eg * G] * I32(2057) + r * I32(-1105766181))
-            pltpu.prng_seed(s1, s2)
-            bits = pltpu.prng_random_bits((PGpad, C))
-            bits24 = pltpu.bitcast(
-                jax.lax.shift_right_logical(
-                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)),
-                jnp.int32)
-            uni[...] = bits24.astype(F32) * F32(2.0 ** -24)
+            if "rng" in knock:  # profiling stand-in
+                uni[...] = jnp.full((PGpad, C), 0.4321, F32)
+            else:
+                s1 = (rng_ref[0] * I32(-1640531527)
+                      + tags_ref[q] * I32(97))
+                s2 = (rng_ref[2 + eg * G] * I32(2057)
+                      + r * I32(-1105766181))
+                pltpu.prng_seed(s1, s2)
+                bits = pltpu.prng_random_bits((PGpad, C))
+                bits24 = pltpu.bitcast(
+                    jax.lax.shift_right_logical(
+                        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)),
+                    jnp.int32)
+                uni[...] = bits24.astype(F32) * F32(2.0 ** -24)
 
         def read_u(slot, nrows):
             """rows [slot*G, slot*G + nrows*G) -> [nrows*G, C]."""
@@ -402,9 +420,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             g_dmat = bd_dmat[...]  # [DQ, DQ] bf16
 
             def fetch_tab(oh):  # oh bf16; codes <= 4095 exact in f32 acc
+                if "fetch" in knock:  # profiling stand-in
+                    return oh.astype(F32)
                 return jnp.dot(g_tab, oh, preferred_element_type=F32)
 
             def fetch_dmat(oh):
+                if "fetch" in knock:
+                    return oh.astype(F32) * 2.0
                 return jnp.dot(g_dmat, oh, preferred_element_type=F32)
         else:
             # per-entry [d2, d2] x [d2, C] dots: G x fewer MXU FLOPs
@@ -421,9 +443,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 return jnp.concatenate(outs, axis=0)
 
             def fetch_tab(oh):
+                if "fetch" in knock:  # profiling stand-in
+                    return oh.astype(F32)
                 return _gdot(t2v, oh)
 
             def fetch_dmat(oh):
+                if "fetch" in knock:
+                    return oh.astype(F32) * 2.0
                 return _gdot(d2v, oh)
 
         def fetch_dmat_pair(oh_a, oh_b):
@@ -470,8 +496,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 (l_idx() == rep_d(jfound)) & okd, i, revmap[...])
             return jnp.where(ok, jfound + 1, j), stopped
 
-        lax.fori_loop(0, n1, thinit_body,
-                      (jnp.zeros((G, C), I32), jnp.zeros((G, C), I32)))
+        if "thinit" not in knock:
+            lax.fori_loop(0, n1, thinit_body,
+                          (jnp.zeros((G, C), I32), jnp.zeros((G, C), I32)))
 
         # ---- initial full score (tmscord, kernel.cu:396-440): for
         # each query SSE i sum the contributions of all pairs (i, k)
@@ -500,9 +527,12 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             tsc = unpack_tsc(pt, qhi, qlo)
             return acc + seg_sum_d(jnp.where(use, tsc, 0.0))
 
-        pairsum = lax.fori_loop(0, n1, initscore_body,
-                                jnp.zeros((G, C), F32))
-        score[...] = (pairsum * 0.5).astype(I32)
+        if "initscore" in knock:
+            score[...] = jnp.zeros((G, C), I32)
+        else:
+            pairsum = lax.fori_loop(0, n1, initscore_body,
+                                    jnp.zeros((G, C), F32))
+            score[...] = (pairsum * 0.5).astype(I32)
 
         improved0 = score[...] > maxscore[...]
         maxscore[...] = jnp.where(improved0, score[...], maxscore[...])
@@ -527,7 +557,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
             qt = seg_sum_q(jnp.where(m1, qtypesv_ref[...], 0))  # [G, C]
 
-            if lorder:
+            if lorder and "lorder" not in knock:
                 km = jnp.where((k_idx() <= sseiq) & (smap_v >= 0),
                                k_idx(), -1)
                 kbest = seg_max_q(km)  # [G, C]

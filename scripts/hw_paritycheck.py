@@ -76,32 +76,39 @@ def run(seed: int = 99) -> None:
                 print(f"PARITY FAIL {tagln}: {nbad} score mismatches",
                       file=sys.stderr)
                 failures += 1
-    # query-batched path (the query grid axis) vs per-query dispatch
+    # query-batched path (the query grid axis) vs per-query dispatch,
+    # in both RNG modes: "supplied" (threefry, XLA-comparable) and
+    # "pltpu" (the production default — its batched path takes the
+    # in-kernel tag from tags_ref[q] rather than the rng_ref[1] slot,
+    # a separate code path that must also match sequential)
     from cuda_satabsearch_tpu.ops.pallas_search import (
         assemble_db_pallas2_multi, dispatch_db_pallas2_multi)
 
     queries = [pack_query(entry(9, f"q{i}")) for i in range(5)]
-    multi = assemble_db_pallas2_multi(dispatch_db_pallas2_multi(
-        queries, db, maxstart=32, lorder=True, seed=1234,
-        query_tags=list(range(10, 15)), c_max=32, rng_mode="supplied",
-        interpret=False, lsoln=True))
-    for qi, q in enumerate(queries):
-        s1, m1 = assemble_db_pallas2(dispatch_db_pallas2(
-            q, db, maxstart=32, lorder=True, seed=1234,
-            query_tag=10 + qi, c_max=32, rng_mode="supplied",
-            interpret=False))
-        ok = (np.array_equal(multi[qi][0], s1)
-              and np.array_equal(multi[qi][1], m1))
-        if ok:
-            print(f"PARITY OK   batched q{qi}: bitwise equal",
-                  file=sys.stderr)
-        else:
-            print(f"PARITY FAIL batched q{qi}", file=sys.stderr)
-            failures += 1
+    for rng_mode in ("supplied", "pltpu"):
+        multi = assemble_db_pallas2_multi(dispatch_db_pallas2_multi(
+            queries, db, maxstart=32, lorder=True, seed=1234,
+            query_tags=list(range(10, 15)), c_max=32, rng_mode=rng_mode,
+            interpret=False, lsoln=True))
+        for qi, q in enumerate(queries):
+            s1, m1 = assemble_db_pallas2(dispatch_db_pallas2(
+                q, db, maxstart=32, lorder=True, seed=1234,
+                query_tag=10 + qi, c_max=32, rng_mode=rng_mode,
+                interpret=False))
+            ok = (np.array_equal(multi[qi][0], s1)
+                  and np.array_equal(multi[qi][1], m1))
+            if ok:
+                print(f"PARITY OK   batched[{rng_mode}] q{qi}: bitwise "
+                      "equal", file=sys.stderr)
+            else:
+                print(f"PARITY FAIL batched[{rng_mode}] q{qi}",
+                      file=sys.stderr)
+                failures += 1
 
     if failures:
         raise SystemExit(f"paritycheck: {failures} failing configs")
     print("paritycheck: all configs bitwise equal", file=sys.stderr)
+    return failures
 
 
 if __name__ == "__main__":

@@ -176,10 +176,11 @@ def test_nh3d_tables_and_gold():
         NH3D_QUERIES, all_cath_ids, architecture, cathmap, compress,
         nh3d_gold)
     ids = all_cath_ids()
-    assert len(ids) == 805
+    assert len(ids) == 806  # matches reference scripts/cathmap.py CATHMAP
+    assert "4.10.990" in ids
     assert len(NH3D_QUERIES) == 73
     cm = cathmap()
-    assert len(cm) == 805  # compression is collision-free on Nh3D
+    assert len(cm) == 806  # compression is collision-free on Nh3D
     assert cm["1101290"] == "1.10.1290"  # the reference's own example
     assert cm["3301530"] == "3.30.1530"
     qset = set(NH3D_QUERIES)
@@ -325,6 +326,12 @@ def test_adapter_sheba():
     lines = out.splitlines()
     assert lines[0] == "# QUERYID = 1timA"
     assert lines[1:] == ["d1abca_    55", "d2defb_    66"]
+    # a footer-only table yields no result rows (the reference's
+    # unconditional `head -n -1`, shebaout2col.sh)
+    one = io.StringIO(
+        " pdb1   na       pdb2   nb   id    m   %ma    %mb \n"
+        " 1timA  247  footer   0  0  0  0  0\n\n")
+    assert _collect(iter_sheba(one)).splitlines()[1:] == []
 
 
 def test_adapter_yakusa():
