@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.constants import SAParams, DEFAULTS
+from .common import round8
 
 I32 = jnp.int32
 F32 = jnp.float32
@@ -50,14 +51,16 @@ def log_acc_slots(uniforms, n1: int, axis: int = 0):
     exp lowering differs by ulps between backends and flips boundary
     decisions (mathematically the two forms are equivalent; the
     reference itself uses approximate expf via --use_fast_math,
-    Makefile:51).  Slot layout: per restart, slots [0, n1) feed thinit
-    and slot n1 + 3*it + 2 is the acceptance draw of iteration it
-    (golden.py docstring).  ln(0) = -inf accepts unconditionally,
-    matching exp(x) > 0.
+    Makefile:51).  Slot layout (the n1r schedule, common.round8): per
+    restart, slots [0, n1) feed thinit and slot
+    round8(n1) + 3*it + 2 is the acceptance draw of iteration it
+    (golden.py docstring); n1 may be given exact or pre-rounded.
+    ln(0) = -inf accepts unconditionally, matching exp(x) > 0.
     """
+    base = round8(n1)
     P = uniforms.shape[axis]
     idx = jnp.arange(P)
-    is_acc = (idx >= n1) & ((idx - n1) % 3 == 2)
+    is_acc = (idx >= base) & ((idx - base) % 3 == 2)
     shape = [1] * uniforms.ndim
     shape[axis] = P
     return jnp.where(is_acc.reshape(shape), jnp.log(uniforms), uniforms)
@@ -114,7 +117,8 @@ def make_entry_search(n1: int, d2: int, c_par: int, r_seq: int,
     """
     p = params
     maxiter = p.maxiter
-    per_restart = n1 + 3 * maxiter
+    n1r = round8(n1)  # slot-schedule base (common.round8)
+    per_restart = n1r + 3 * maxiter
     C = c_par
     iota1 = jnp.arange(n1, dtype=I32)[:, None]  # [n1, 1]
     iota2 = jnp.arange(d2, dtype=I32)[:, None]  # [d2, 1]
@@ -176,7 +180,7 @@ def make_entry_search(n1: int, d2: int, c_par: int, r_seq: int,
         def iter_body(it, carry):
             """One SA move for all chains (kernel.cu:1032-1191)."""
             ssemap, revmap, score, maxscore, bestmap, temp, uniforms = carry
-            u3 = lax.dynamic_slice_in_dim(uniforms, n1 + 3 * it, 3, axis=0)
+            u3 = lax.dynamic_slice_in_dim(uniforms, n1r + 3 * it, 3, axis=0)
             u_move, u_cand, u_acc = u3[0], u3[1], u3[2]  # [C] each
 
             ssei = ((u_move - EPS) * F32(n1)).astype(I32)  # [C]

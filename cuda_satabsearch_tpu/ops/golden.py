@@ -22,8 +22,11 @@ including its quirks:
 
 Randomness is supplied by the caller as a flat array of uniforms in
 [0, 1) consumed at *fixed slots*: per restart, slot i for query SSE i in
-thinit and slots n1 + 3*it + {0,1,2} for (move, candidate, accept) of
-iteration it.  The reference consumes uniforms data-dependently, but
+thinit and slots round8(n1) + 3*it + {0,1,2} for (move, candidate,
+accept) of iteration it — the n1r schedule (ops/common.py round8), so
+every query order in the same 8-padded bucket shares one stream layout
+(what lets mixed-order query batches run bitwise-identically to
+sequential dispatch).  The reference consumes uniforms data-dependently, but
 scores are RNG-stream-dependent anyway (its own CPU and GPU paths give
 different per-entry scores for the same input,
 README_example_usage.txt:43-49 vs :92-98); a fixed schedule is what lets
@@ -162,8 +165,10 @@ def sa_chain(query, db, lorder: bool, nrestarts: int,
               nrestarts * (n1 + 3*maxiter), slot schedule per module doc.
     """
     n1, n2 = query.order, db.order
+    n1r = max(8, -(-n1 // 8) * 8)  # == ops.common.round8 (kept inline
+    # so the golden model stays importable without jax)
     uniforms = np.asarray(uniforms, dtype=np.float32)
-    per_restart = n1 + 3 * maxiter
+    per_restart = n1r + 3 * maxiter
     assert uniforms.size >= nrestarts * per_restart
 
     ssemap = np.full(n1, -1, dtype=np.int64)
@@ -183,7 +188,7 @@ def sa_chain(query, db, lorder: bool, nrestarts: int,
             bestmap[:] = ssemap  # unconditional at restart init (kernel.cu:1024-1028)
         temp = F32(TEMP0)
         for it in range(maxiter):
-            s = base + n1 + 3 * it
+            s = base + n1r + 3 * it
             u_move, u_cand, u_acc = uniforms[s], uniforms[s + 1], uniforms[s + 2]
             ssei = trunc_index(u_move, n1)
             if lorder:
@@ -227,4 +232,4 @@ def sa_chain(query, db, lorder: bool, nrestarts: int,
 
 
 def uniforms_per_restart(n1: int, maxiter: int = MAXITER) -> int:
-    return n1 + 3 * maxiter
+    return max(8, -(-n1 // 8) * 8) + 3 * maxiter  # the n1r schedule

@@ -51,12 +51,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.constants import SAParams, DEFAULTS
-from .pallas_sa import round8
+from .common import C_LANES, round8
 
 I32 = jnp.int32
 F32 = jnp.float32
 BF16 = jnp.bfloat16  # MXU-native; exact for one-hots and codes <= 256
-C_LANES = 128
 
 
 # Measured on the real chip (586-entry benchmark, 8-SSE query,
@@ -168,22 +167,31 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                knock: frozenset = frozenset()):
     """Build the grouped pallas_call for an E-entry chunk (G | E).
 
+    The kernel is specialized on ``round8(n1)`` ONLY: the exact query
+    order is a RUNTIME input (``n1s_i32[nq]``, one per query), so any
+    mix of query orders within an 8-padded bucket shares one compiled
+    kernel — and, under the n1r RNG slot schedule (ops/common.py),
+    one stream layout, making mixed-order batches bitwise-identical to
+    sequential dispatch.
+
     With nq == 1, returns
         fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtypesv_i32[NQ,1],
            qb2t_bf16[n1r*G, NQ], qb2d_bf16[n1r*G, NQ],
            types2_i32[E*d2, 1],
-           tab2p_f32[E*d2, d2], dmat2_f32[E*d2, d2], rng_input)
+           tab2p_f32[E*d2, d2], dmat2_f32[E*d2, d2], rng_input,
+           n1s_i32[1])
          -> (scores_i32[E//G, G, C], bestmaps_i32[E//G, G*n1r, 1])
             (bestmaps only when lsoln)
 
-    With nq > 1, a QUERY GRID AXIS batches nq same-order queries into
+    With nq > 1, a QUERY GRID AXIS batches nq same-n1r queries into
     this one pallas_call (grid (E//G, nq, r_seq), query blocks indexed
     by the middle grid dim) — the per-call fixed cost (launch, VMEM
     alloc, glue ops) is paid once per chunk instead of once per
     (chunk, query).  Query-side args then carry a leading nq axis and a
     ``tags_i32[nq]`` arg replaces the packed tag slot:
         fn(n2, qtypes[nq,n1r], qtypesv[nq,NQ,1], qb2t[nq,...],
-           qb2d[nq,...], types2, tab2p, dmat2, rng_input, tags)
+           qb2d[nq,...], types2, tab2p, dmat2, rng_input, tags,
+           n1s_i32[nq])
          -> (scores_i32[nq, E//G, G, C], bestmaps[nq, E//G, NQ, 1])
     RNG streams are keyed (seed, tag, entry, restart) exactly as in the
     nq == 1 path, so batched == sequential bitwise.
@@ -204,8 +212,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     """
     p = params
     maxiter = p.maxiter
-    P = n1 + 3 * maxiter
     n1r = round8(n1)
+    P = n1r + 3 * maxiter  # the n1r slot schedule (ops/common.py)
     G = min(group if group is not None else choose_group(d2, n1r), E)
     if fetch == "auto":
         fetch = choose_fetch(d2, G)
@@ -217,13 +225,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     EG = E // G
     C = C_LANES
     NEG = p.maxscore_init
-    BIG = n1 + d2 + 999
+    BIG = n1r + d2 + 999
     DQ = G * d2  # db-side flat rows
     NQ = G * n1r  # query-side flat rows
     NQH = n1r * G  # qb2 half offset (same value, named for clarity)
     PG = P * G  # uniforms rows per restart (slot-major)
     PGpad = round8(PG)
-    kloop_unroll = n1 <= 16
+    kloop_unroll = n1r <= 16
 
     def iota_d():  # flat db-side iota
         return lax.broadcasted_iota(I32, (DQ, C), 0)
@@ -304,7 +312,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
             carry = (jnp.zeros((DQ, C), F32), jnp.zeros((DQ, C), F32))
             if kloop_unroll:
-                for k in range(n1):
+                for k in range(n1r):  # padded k never appear in rmap_v
                     m = rmap_v == k
                     carry = (jnp.where(m, rep_d(qct[k * G:(k + 1) * G]),
                                        carry[0]),
@@ -313,7 +321,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 return carry
             qct_s[...] = qct
             qcd_s[...] = qcd
-            return lax.fori_loop(0, n1, body, carry)
+            return lax.fori_loop(0, n1r, body, carry)
 
         return gather
 
@@ -328,7 +336,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
     def kernel(*refs):
         (n2_ref, qtypes_ref, qtypesv_ref, qb2t_ref, qb2d_ref, types2_ref,
-         tab2p_ref, dmat2_ref, rng_ref, tags_ref, outscore_ref,
+         tab2p_ref, dmat2_ref, rng_ref, tags_ref, n1s_ref, outscore_ref,
          *rest) = refs
         rest = list(rest)
         outbest_ref = rest.pop(0) if lsoln else None
@@ -349,6 +357,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         eg = pl.program_id(0)
         q = pl.program_id(1)
         r = pl.program_id(2)
+        n1v = n1s_ref[q]  # exact order of this query (runtime; the
+        # kernel is specialized on n1r = round8(n1) only)
 
         # ---- per-entry order column [G, C]
         n2col = jnp.concatenate(
@@ -482,7 +492,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             j, stopped = carry  # [G, C] each; stopped int32
             u_i = read_u(i, 1)  # [G, C]
             t1 = qtypes_ref[q, i]
-            attempt = (u_i < p.init_matchprob) & (stopped == 0)
+            attempt = ((u_i < p.init_matchprob) & (stopped == 0)
+                       & (i < n1v))  # padded SSEs never attempt
             cmask = ((l_idx() >= rep_d(j)) & (types2 == t1)
                      & (l_idx() < rep_d(n2col)))
             jfound = seg_min_d(jnp.where(cmask, l_idx(), BIG))  # [G, C]
@@ -497,7 +508,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             return jnp.where(ok, jfound + 1, j), stopped
 
         if "thinit" not in knock:
-            lax.fori_loop(0, n1, thinit_body,
+            lax.fori_loop(0, n1r, thinit_body,
                           (jnp.zeros((G, C), I32), jnp.zeros((G, C), I32)))
 
         # ---- initial full score (tmscord, kernel.cu:396-440): for
@@ -530,7 +541,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         if "initscore" in knock:
             score[...] = jnp.zeros((G, C), I32)
         else:
-            pairsum = lax.fori_loop(0, n1, initscore_body,
+            # padded query SSEs (i >= n1v) contribute 0: their ssemap
+            # row is -1, gating every pair via `use`
+            pairsum = lax.fori_loop(0, n1r, initscore_body,
                                     jnp.zeros((G, C), F32))
             score[...] = (pairsum * 0.5).astype(I32)
 
@@ -545,12 +558,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         def iter_body(it, temp):
             smap_v = ssemap[...]
             rmap_v = revmap[...]
-            u3 = read_u(n1 + 3 * it, 3)  # [3G, C]
+            u3 = read_u(n1r + 3 * it, 3)  # [3G, C]
             u_move = u3[0:G, :]
             u_cand = u3[G:2 * G, :]
             u_acc = u3[2 * G:3 * G, :]
 
-            ssei = ((u_move - p.eps) * float(n1)).astype(I32)  # [G, C]
+            ssei = ((u_move - p.eps)
+                    * n1v.astype(F32)).astype(I32)  # [G, C]
             sseiq = rep_q(ssei)
             m1 = k_idx() == sseiq  # [NQ, C]
             m1f = m1.astype(F32)
@@ -558,19 +572,23 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             qt = seg_sum_q(jnp.where(m1, qtypesv_ref[...], 0))  # [G, C]
 
             if lorder and "lorder" not in knock:
-                km = jnp.where((k_idx() <= sseiq) & (smap_v >= 0),
-                               k_idx(), -1)
-                kbest = seg_max_q(km)  # [G, C]
-                sj = seg_sum_q(jnp.where(k_idx() == rep_q(kbest),
-                                         smap_v, 0))
-                startj = jnp.where(kbest >= 0, sj, n2col)
-                kn = jnp.where((k_idx() > sseiq) & (smap_v != -1),
-                               k_idx(), BIG)
-                knext = seg_min_q(kn)
-                ej = seg_sum_q(jnp.where(k_idx() == rep_q(knext),
-                                         smap_v, 0))
-                endj = jnp.where(ssei == n1 - 1, n2col,
-                                 jnp.where(knext < n1, ej, -1))
+                # Under LORDER every reachable mapping is order-
+                # preserving (thinit's db cursor is monotone and every
+                # accepted move lands strictly between its mapped
+                # neighbours), so ssemap restricted to mapped k is
+                # strictly increasing — the window endpoints are then
+                # direct segment reductions over the VALUES:
+                #   startj = max smap[k] over mapped k <= ssei
+                #   endj   = min smap[k] over mapped k > ssei
+                # (one reduction each, vs. reduce-arg + extract in the
+                # literal translation of kernel.cu:1053-1083).
+                sv = seg_max_q(jnp.where((k_idx() <= sseiq)
+                                         & (smap_v >= 0), smap_v, -1))
+                startj = jnp.where(sv >= 0, sv, n2col)
+                ev = seg_min_q(jnp.where((k_idx() > sseiq)
+                                         & (smap_v >= 0), smap_v, BIG))
+                endj = jnp.where(ssei == n1v - 1, n2col,
+                                 jnp.where(ev < BIG, ev, -1))
             else:
                 startj = jnp.zeros((G, C), I32)
                 endj = n2col
@@ -703,6 +721,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                      memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((nq,), lambda e, q, r: (0,),
                                  memory_space=pltpu.SMEM))  # tags
+    in_specs.append(pl.BlockSpec((nq,), lambda e, q, r: (0,),
+                                 memory_space=pltpu.SMEM))  # n1s
     scratch = [
         pltpu.VMEM((NQ, C), jnp.int32),  # ssemap
         pltpu.VMEM((DQ, C), jnp.int32),  # revmap
@@ -735,9 +755,12 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         interpret=interpret,
     )
 
-    def batched(n2, qts, qtvs, qb2ts, qb2ds, t2, tp, dm, rng_in, tags):
+    def batched(n2, qts, qtvs, qb2ts, qb2ds, t2, tp, dm, rng_in, tags,
+                n1s=None):
+        if n1s is None:
+            n1s = jnp.full((nq,), n1, I32)
         out = call(n2, qts, qtvs, qb2ts, qb2ds, t2, tp, dm, rng_in,
-                   jnp.asarray(tags, I32))
+                   jnp.asarray(tags, I32), jnp.asarray(n1s, I32))
         if lsoln:
             return out
         (scores,) = out
@@ -746,7 +769,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     if nq > 1 or batched_api:
         return batched, G
 
-    def single(n2, qt, qtv, qb2t, qb2d, t2, tp, dm, rng_in):
+    def single(n2, qt, qtv, qb2t, qb2d, t2, tp, dm, rng_in, n1s=None):
         if rng_mode == "pltpu":
             tags = rng_in[1:2].astype(I32)
             rng = rng_in
@@ -754,7 +777,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             tags = jnp.zeros((1,), I32)
             rng = rng_in[None]
         s, m = batched(n2, qt[None], qtv[None], qb2t[None], qb2d[None],
-                       t2, tp, dm, rng, tags)
+                       t2, tp, dm, rng, tags, n1s)
         return s[0], (None if m is None else m[0])
 
     return single, G

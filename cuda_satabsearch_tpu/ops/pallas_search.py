@@ -1,7 +1,7 @@
 """Search-layer driver for the Pallas SA kernel.
 
 Mirrors ops/search.py's bucket orchestration but routes through the
-hand-fused TPU kernel (ops/pallas_sa.py).  Per chunk, RNG key
+hand-fused TPU kernel (ops/pallas_sa2.py).  Per chunk, RNG key
 derivation, threefry uniform generation, and the kernel run as ONE
 jitted computation — a single device dispatch per chunk per query
 (dispatch and retrace overhead through the TPU tunnel otherwise dwarfs
@@ -20,60 +20,14 @@ import numpy as np
 
 from ..core.constants import SAParams, DEFAULTS
 from ..io.pack import PackedBucket, PackedQuery
+from .common import (C_LANES, pack_tab, prepare_query, round8,
+                     slots_per_restart)
 from .engine import log_acc_slots
-from .pallas_sa import (C_LANES, make_pallas_bucket_search, pack_tab,
-                        prepare_query, round8)
 from .search import choose_chains
 
-# Entries per pallas_call: the kernel compiles per (E, n1, d2) triple;
+# Entries per pallas_call: the kernel compiles per (E, n1r, d2) triple;
 # chunk-padding to a fixed E keeps that to one compile per bucket shape.
 CHUNK_ENTRIES = 128
-
-
-@functools.lru_cache(maxsize=None)
-def _make_chunk_fn(E: int, n1: int, d2: int, c_par: int, r_seq: int,
-                   lorder: bool, params: SAParams, interpret: bool,
-                   rng_mode: str):
-    """One-dispatch chunk computation: RNG + kernel in a single jit.
-
-    rng_mode "pltpu": the kernel generates its uniforms with the TPU
-    hardware PRNG — nothing but the (seed, tag, indices) scalars cross
-    the boundary.  "supplied": threefry uniforms are generated on
-    device with the engine's exact stream (bitwise-testable) and fed to
-    the kernel — a large HLO, kept for parity testing.
-    """
-    kern = make_pallas_bucket_search(E, n1, d2, c_par, r_seq, lorder,
-                                     params, interpret, rng_mode=rng_mode)
-    P = n1 + 3 * params.maxiter
-
-    def f(seed, tag, indices, n2, qt, qtv, qtabp, qdmat, types2, tab2p,
-          dmat2):
-        if rng_mode == "pltpu":
-            packed = jnp.concatenate([
-                jnp.asarray(seed, jnp.int32)[None],
-                jnp.asarray(tag, jnp.int32)[None],
-                indices.astype(jnp.int32)])
-            return kern(n2, qt, qtv, qtabp, qdmat, types2, tab2p, dmat2,
-                        packed)
-        base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
-        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(indices)
-
-        def per_entry(key):
-            def per_restart(r):
-                u = jax.random.uniform(jax.random.fold_in(key, r),
-                                       (P, c_par), dtype=jnp.float32)
-                u = log_acc_slots(u, n1)  # accept slots -> ln(u)
-                if c_par < C_LANES:
-                    u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
-                return u
-            return jax.vmap(per_restart)(jnp.arange(r_seq,
-                                                    dtype=jnp.uint32))
-
-        uniforms = jax.vmap(per_entry)(keys)
-        return kern(n2, qt, qtv, qtabp, qdmat, types2, tab2p, dmat2,
-                    uniforms)
-
-    return jax.jit(f)
 
 
 def _chunk_plan(n: int, cs: int):
@@ -89,194 +43,6 @@ def _chunk_plan(n: int, cs: int):
             plan.append((start, end, None))
     return plan
 
-
-def prepare_bucket_pallas(bucket: PackedBucket, device=None,
-                          chunk_entries: int = CHUNK_ENTRIES) -> dict:
-    """Kernel-format bucket arrays pre-sliced into padded chunks."""
-    n = bucket.size
-    cs = min(chunk_entries, max(n, 1))
-    tab2p_full = pack_tab(bucket.tabhi, bucket.tablo)
-    types_full = bucket.types.astype(np.int32)[:, :, None]
-    dmat_full = bucket.dmat.astype(np.float32)
-    orders_full = bucket.orders.astype(np.int32)
-
-    def put(x):
-        x = jnp.asarray(x)
-        return jax.device_put(x, device) if device is not None else x
-
-    chunks = []
-    for start, end, idx in _chunk_plan(n, cs):
-        sl = idx if idx is not None else slice(start, end)
-        chunks.append({
-            "start": start, "end": end,
-            "size": cs if idx is not None else end - start,
-            "indices": put((bucket.index[sl]).astype(np.uint32)),
-            "n2": put(orders_full[sl]),
-            "types2": put(types_full[sl]),
-            "tab2p": put(tab2p_full[sl]),
-            "dmat2": put(dmat_full[sl]),
-        })
-    return {"chunks": chunks, "cs": cs}
-
-
-def search_bucket_pallas(query: PackedQuery, bucket: PackedBucket, *,
-                         maxstart: int, lorder: bool, seed: int,
-                         query_tag: int, c_max: int = C_LANES,
-                         params: SAParams = DEFAULTS,
-                         device_arrays: dict | None = None,
-                         interpret: bool = False,
-                         rng_mode: str = "pltpu"
-                         ) -> tuple[np.ndarray, np.ndarray]:
-    """Search one packed bucket with the Pallas kernel.
-
-    Returns (scores [N], bestmaps [N, n1]) like search_bucket.
-    """
-    n1, d2 = query.order, bucket.dim
-    n1r = round8(n1)
-    c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
-
-    qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
-    qargs = (jnp.asarray(qtypes), jnp.asarray(qtypesv),
-             jnp.asarray(qtabp), jnp.asarray(qdmat))
-    darr = device_arrays or prepare_bucket_pallas(bucket)
-
-    n = bucket.size
-    scores = np.empty((n,), np.int32)
-    maps = np.empty((n, n1), np.int32)
-    results = []
-    for ch in darr["chunks"]:
-        fn = _make_chunk_fn(ch["size"], n1, d2, c_par, r_seq, lorder,
-                            params, interpret, rng_mode)
-        results.append((ch, fn(seed, query_tag, ch["indices"], ch["n2"],
-                               *qargs, ch["types2"], ch["tab2p"],
-                               ch["dmat2"])))
-    for ch, (s, m) in results:  # drain after all dispatches are in flight
-        k = ch["end"] - ch["start"]
-        scores[ch["start"]:ch["end"]] = np.asarray(s)[:k, 0, 0]
-        maps[ch["start"]:ch["end"]] = np.asarray(m)[:k, :n1, 0]
-    return scores, maps
-
-
-@functools.lru_cache(maxsize=None)
-def _make_db_fn(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
-                lorder: bool, params: SAParams, interpret: bool,
-                rng_mode: str):
-    """One-dispatch WHOLE-DB search: every bucket's every chunk runs
-    inside a single jitted program (per-chunk dispatch costs a full
-    device round trip — ~tens of ms through a TPU tunnel — which would
-    otherwise dominate the ~30 us/entry kernel).
-
-    chunk_shapes: tuple of (E, d2) per chunk, in traversal order.
-    """
-    kerns = {}
-    for E, d2 in set(chunk_shapes):
-        kerns[(E, d2)] = make_pallas_bucket_search(
-            E, n1, d2, c_par, r_seq, lorder, params, interpret,
-            rng_mode=rng_mode)
-    P = n1 + 3 * params.maxiter
-
-    def f(seed, tag, qt, qtv, qtabp, qdmat, chunk_args):
-        outs = []
-        for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
-                chunk_shapes, chunk_args):
-            kern = kerns[(E, d2)]
-            if rng_mode == "pltpu":
-                packed = jnp.concatenate([
-                    jnp.asarray(seed, jnp.int32)[None],
-                    jnp.asarray(tag, jnp.int32)[None],
-                    indices.astype(jnp.int32)])
-                outs.append(kern(n2, qt, qtv, qtabp, qdmat, types2,
-                                 tab2p, dmat2, packed))
-            else:
-                base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
-                keys = jax.vmap(
-                    lambda i: jax.random.fold_in(base, i))(indices)
-
-                def per_entry(key):
-                    def per_restart(r):
-                        u = jax.random.uniform(
-                            jax.random.fold_in(key, r), (P, c_par),
-                            dtype=jnp.float32)
-                        u = log_acc_slots(u, n1)
-                        if c_par < C_LANES:
-                            u = jnp.pad(u,
-                                        ((0, 0), (0, C_LANES - c_par)))
-                        return u
-                    return jax.vmap(per_restart)(
-                        jnp.arange(r_seq, dtype=jnp.uint32))
-
-                uniforms = jax.vmap(per_entry)(keys)
-                outs.append(kern(n2, qt, qtv, qtabp, qdmat, types2,
-                                 tab2p, dmat2, uniforms))
-        return outs
-
-    return jax.jit(f)
-
-
-def dispatch_db_pallas(query: PackedQuery, db, *, maxstart: int,
-                       lorder: bool, seed: int, query_tag: int,
-                       c_max: int = C_LANES, params: SAParams = DEFAULTS,
-                       device_db: dict | None = None,
-                       interpret: bool = False,
-                       rng_mode: str = "pltpu"):
-    """Issue the whole-DB single-dispatch search WITHOUT draining.
-
-    Returns an opaque handle; pass to assemble_db_pallas to block and
-    build (scores, maps).  Lets callers pipeline a stream of queries:
-    all device work is enqueued back-to-back, host round trips are paid
-    once at the end (the reference's kernel-only timing semantics).
-    """
-    n1 = query.order
-    n1r = round8(n1)
-    c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
-    qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
-    qargs = (jnp.asarray(qtypes), jnp.asarray(qtypesv),
-             jnp.asarray(qtabp), jnp.asarray(qdmat))
-
-    shapes = []
-    chunk_args = []
-    chunk_meta = []  # (bucket, start, end)
-    for bi, bucket in enumerate(db.buckets):
-        darr = None
-        if device_db is not None:
-            darr = device_db.get(bi, {}).get("pallas")
-        if darr is None:
-            darr = prepare_bucket_pallas(bucket)
-        for ch in darr["chunks"]:
-            shapes.append((ch["size"], bucket.dim))
-            chunk_args.append((ch["indices"], ch["n2"], ch["types2"],
-                               ch["tab2p"], ch["dmat2"]))
-            chunk_meta.append((bucket, ch["start"], ch["end"]))
-
-    fn = _make_db_fn(tuple(shapes), n1, c_par, r_seq, lorder, params,
-                     interpret, rng_mode)
-    outs = fn(seed, query_tag, *qargs, chunk_args)
-    return (db, n1, chunk_meta, outs)
-
-
-def assemble_db_pallas(handle) -> tuple[np.ndarray, np.ndarray]:
-    """Block on a dispatch_db_pallas handle; (scores, maps) file order."""
-    db, n1, chunk_meta, outs = handle
-    scores = np.zeros((db.nentries,), np.int32)
-    maps = np.full((db.nentries, n1), -1, np.int32)
-    for (bucket, start, end), (s, m) in zip(chunk_meta, outs):
-        k = end - start
-        sub_idx = bucket.index[start:end]
-        valid = sub_idx >= 0
-        scores[sub_idx[valid]] = np.asarray(s)[:k, 0, 0][valid]
-        maps[sub_idx[valid]] = np.asarray(m)[:k, :n1, 0][valid]
-    return scores, maps
-
-
-def search_db_pallas(query: PackedQuery, db, **kw):
-    """Whole-DB single-dispatch search; returns (scores, maps) in file
-    order (the pallas analog of ops.search.search_db's bucket loop)."""
-    return assemble_db_pallas(dispatch_db_pallas(query, db, **kw))
-
-
-# ---------------------------------------------------------------------------
-# v2 (entry-group) kernel path
-# ---------------------------------------------------------------------------
 
 MAX_GROUP = 16  # pallas_sa2.choose_group upper bound; chunk sizes must
 # be multiples of it so any group size divides them
@@ -349,10 +115,12 @@ def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
+def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
                  lorder: bool, params: SAParams, interpret: bool,
                  rng_mode: str, lsoln: bool = True, mesh=None):
-    """v2 single-dispatch whole-DB search (see _make_db_fn).
+    """v2 single-dispatch whole-DB search, keyed by ``n1r = round8(n1)``
+    — ONE compiled program serves every query order in the same
+    8-padded bucket (the exact order rides in as a traced scalar).
 
     With ``mesh`` (1-D jax.sharding.Mesh over the entry axis), every
     chunk's kernel runs SPMD via shard_map: each device executes the
@@ -364,14 +132,14 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
     """
     from .pallas_sa2 import make_pallas2_bucket_search, make_qb2
 
-    n1r = round8(n1)
-    P = n1 + 3 * params.maxiter
+    assert n1r == round8(n1r), n1r
+    P = slots_per_restart(n1r, params.maxiter)
     ndev = mesh.size if mesh is not None else 1
     kerns = {}
     for E, d2 in set(chunk_shapes):
         assert E % ndev == 0, (E, ndev)
         kerns[(E, d2)] = make_pallas2_bucket_search(
-            E // ndev, n1, d2, c_par, r_seq, lorder, params, interpret,
+            E // ndev, n1r, d2, c_par, r_seq, lorder, params, interpret,
             rng_mode, lsoln)
 
     def _uniforms(indices, seed, tag, E, G):
@@ -386,7 +154,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                 u = jax.random.uniform(
                     jax.random.fold_in(key, r), (P, c_par),
                     dtype=jnp.float32)
-                u = log_acc_slots(u, n1)  # accept slots -> ln(u)
+                u = log_acc_slots(u, n1r)  # accept slots -> ln(u)
                 if c_par < C_LANES:
                     u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
                 return u
@@ -399,7 +167,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
                 .reshape(E // G, r_seq, P * G, C_LANES))
 
     def _sharded_call(kern, G, E, d2, indices, n2, types2, tab2p, dmat2,
-                      seed, tag, qt, qtv, qb2t, qb2d):
+                      seed, tag, n1s, qt, qtv, qb2t, qb2d):
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as SP
 
@@ -408,8 +176,8 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
         ent2 = SP(ax, None)
         rep = SP()
 
-        def body(idx_l, n2_l, t2_l, tp_l, dm_l, seed_a, tag_a, qt_a,
-                 qtv_a, qb2t_a, qb2d_a):
+        def body(idx_l, n2_l, t2_l, tp_l, dm_l, seed_a, tag_a, n1s_a,
+                 qt_a, qtv_a, qb2t_a, qb2d_a):
             if rng_mode == "pltpu":
                 rng_in = jnp.concatenate([
                     seed_a.astype(jnp.int32)[None],
@@ -418,7 +186,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
             else:
                 rng_in = _uniforms(idx_l, seed_a, tag_a, E // ndev, G)
             res = kern(n2_l, qt_a, qtv_a, qb2t_a, qb2d_a, t2_l, tp_l,
-                       dm_l, rng_in)
+                       dm_l, rng_in, n1s_a)
             return res if lsoln else res[0]
 
         out_specs = (SP(ax, None, None),)
@@ -427,14 +195,15 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
         return shard_map(
             body, mesh=mesh,
             in_specs=(ent, ent, ent2, ent2, ent2, rep, rep, rep, rep,
-                      rep, rep),
+                      rep, rep, rep),
             out_specs=out_specs if lsoln else out_specs[0],
             check_rep=False,
         )(indices, n2, types2, tab2p, dmat2,
           jnp.asarray(seed, jnp.int32), jnp.asarray(tag, jnp.int32),
-          qt, qtv, qb2t, qb2d)
+          n1s, qt, qtv, qb2t, qb2d)
 
-    def f(seed, tag, qt, qtabp, qdmat, chunk_args):
+    def f(seed, tag, n1q, qt, qtabp, qdmat, chunk_args):
+        n1s = jnp.asarray(n1q, jnp.int32).reshape(1)
         outs = []
         qb2s = {}
         for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
@@ -447,8 +216,8 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
             (qb2t, qb2d), qtv = qb2s[G]
             if mesh is not None:
                 out = _sharded_call(kern, G, E, d2, indices, n2, types2,
-                                    tab2p, dmat2, seed, tag, qt, qtv,
-                                    qb2t, qb2d)
+                                    tab2p, dmat2, seed, tag, n1s, qt,
+                                    qtv, qb2t, qb2d)
                 outs.append((out if lsoln else (out, None), G))
                 continue
             if rng_mode == "pltpu":
@@ -459,7 +228,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
             else:
                 rng_in = _uniforms(indices, seed, tag, E, G)
             outs.append((kern(n2, qt, qtv, qb2t, qb2d, types2, tab2p,
-                              dmat2, rng_in), G))
+                              dmat2, rng_in, n1s), G))
         # concatenate on device: the drain must be ONE transfer per
         # output, not one per chunk (each D2H costs a full round trip
         # through remote-TPU tunnels)
@@ -475,7 +244,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1: int, c_par: int, r_seq: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
+def _make_db_scan_fn2(chunk_shapes: tuple, n1r: int, c_par: int,
                       r_seq: int, lorder: bool, params: SAParams,
                       interpret: bool, rng_mode: str,
                       lsoln: bool = True, mesh=None):
@@ -489,43 +258,47 @@ def _make_db_scan_fn2(chunk_shapes: tuple, n1: int, c_par: int,
     costs a ~25-35 ms round trip, so per-query draining caps wall-clock
     throughput regardless of kernel speed.
     """
-    inner = _make_db_fn2(chunk_shapes, n1, c_par, r_seq, lorder, params,
+    inner = _make_db_fn2(chunk_shapes, n1r, c_par, r_seq, lorder, params,
                          interpret, rng_mode, lsoln, mesh).__wrapped__
 
-    def f(seed, tags, qts, qtabps, qdmats, chunk_args):
+    def f(seed, tags, n1s, qts, qtabps, qdmats, chunk_args):
         def body(_, per_q):
-            tag, qt, qtabp, qdmat = per_q
-            return None, inner(seed, tag, qt, qtabp, qdmat, chunk_args)
+            tag, n1q, qt, qtabp, qdmat = per_q
+            return None, inner(seed, tag, n1q, qt, qtabp, qdmat,
+                               chunk_args)
 
         _, (scores, maps) = jax.lax.scan(
-            body, None, (tags, qts, qtabps, qdmats))
+            body, None, (tags, n1s, qts, qtabps, qdmats))
         return scores, maps  # [K, total], [K, total, n1r]
 
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_db_fnK(chunk_shapes: tuple, n1: int, K: int, c_par: int,
+def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
                  r_seq: int, lorder: bool, params: SAParams,
                  interpret: bool, rng_mode: str, lsoln: bool = False):
     """K-query batched whole-DB search: the kernel's query grid axis
     runs all K queries in ONE pallas_call per chunk (total pallas_calls
     = #chunks, vs K x #chunks under the scan path), so the per-call
     fixed cost — launch, VMEM setup, the glue ops around each call —
-    is paid once per chunk.  Outputs match _make_db_scan_fn2's
-    ([K, total] scores, [K, total, n1r] maps); RNG streams are
-    identical to the sequential path (keyed by per-query tags)."""
+    is paid once per chunk.  Keyed by n1r = round8(n1): the K queries
+    may have ANY mix of exact orders within the bucket (per-query
+    orders ride in the traced ``n1s`` array).  Outputs match
+    _make_db_scan_fn2's ([K, total] scores, [K, total, n1r] maps); RNG
+    streams are identical to the sequential path (keyed by per-query
+    tags)."""
     from .pallas_sa2 import make_pallas2_bucket_search, make_qb2_batched
 
-    n1r = round8(n1)
-    P = n1 + 3 * params.maxiter
+    assert n1r == round8(n1r), n1r
+    P = slots_per_restart(n1r, params.maxiter)
     kerns = {}
     for E, d2 in set(chunk_shapes):
         kerns[(E, d2)] = make_pallas2_bucket_search(
-            E, n1, d2, c_par, r_seq, lorder, params, interpret,
+            E, n1r, d2, c_par, r_seq, lorder, params, interpret,
             rng_mode, lsoln, nq=K, batched_api=True)
 
-    def f(seed, tags, qts, qtabps, qdmats, chunk_args):
+    def f(seed, tags, n1s, qts, qtabps, qdmats, chunk_args):
         qb2s = {}
         out_s = []
         out_m = []
@@ -553,7 +326,7 @@ def _make_db_fnK(chunk_shapes: tuple, n1: int, K: int, c_par: int,
                             u = jax.random.uniform(
                                 jax.random.fold_in(key, r), (P, c_par),
                                 dtype=jnp.float32)
-                            u = log_acc_slots(u, n1)
+                            u = log_acc_slots(u, n1r)
                             if c_par < C_LANES:
                                 u = jnp.pad(
                                     u, ((0, 0), (0, C_LANES - c_par)))
@@ -568,7 +341,7 @@ def _make_db_fnK(chunk_shapes: tuple, n1: int, K: int, c_par: int,
 
                 rng_in = jax.vmap(per_tag)(tags)  # [K, EG, r, PG, C]
             S, M = kern(n2, qts.astype(jnp.int32), qtvs, qb2t, qb2d,
-                        types2, tab2p, dmat2, rng_in, tags)
+                        types2, tab2p, dmat2, rng_in, tags, n1s)
             out_s.append(S[..., 0].reshape(K, -1))  # [K, E]
             if lsoln:
                 out_m.append(M[..., 0].reshape(K, -1, n1r))
@@ -625,16 +398,17 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
                               interpret: bool = False,
                               rng_mode: str = "pltpu",
                               lsoln: bool = False, mesh=None):
-    """Dispatch K same-order queries as a pipeline of power-of-two scan
-    tiles (up to K_TILE queries per device program; a short tail is
-    padded to the next power of two by replicating the last query under
-    throwaway tags).  Tile outputs are concatenated on device; the
-    handle drains with assemble_db_pallas2_multi in a single D2H
-    transfer.
+    """Dispatch K queries of the same round8(order) bucket — any MIX of
+    exact orders — as a pipeline of power-of-two scan tiles (up to
+    K_TILE queries per device program; a short tail is padded to the
+    next power of two by replicating the last query under throwaway
+    tags).  Tile outputs are concatenated on device; the handle drains
+    with assemble_db_pallas2_multi in a single D2H transfer.  Under the
+    n1r RNG slot schedule each query's stream is identical to what
+    per-query dispatch would use, so batched == sequential bitwise.
     """
-    n1 = queries[0].order
-    assert all(q.order == n1 for q in queries)
-    n1r = round8(n1)
+    n1r = round8(queries[0].order)
+    assert all(round8(q.order) == n1r for q in queries)
     c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
 
     K = len(queries)
@@ -645,6 +419,7 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
     queries = list(queries) + [queries[-1]] * pad
     maxtag = max(tags)
     tags = tags + [maxtag + 1 + i for i in range(pad)]
+    n1s = [q.order for q in queries]
 
     qts, qtabps, qdmats = [], [], []
     for q in queries:
@@ -660,8 +435,8 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
         darr = None
         if device_db is not None:
             darr = device_db.get(bi, {}).get("pallas")
-        if darr is None or darr.get("v") != 2:
-            darr = prepare_bucket_pallas2(bucket)
+        if darr is None or darr.get("v") != 2 or darr.get("mesh") is not mesh:
+            darr = prepare_bucket_pallas2(bucket, mesh=mesh)
         for ch in darr["chunks"]:
             shapes.append((ch["size"], bucket.dim))
             chunk_args.append((ch["indices"], ch["n2"], ch["types2"],
@@ -680,17 +455,18 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
         if mesh is None:
             # query grid axis: all `tile` queries in one pallas_call
             # per chunk
-            fn = _make_db_fnK(tuple(shapes), n1, tile, c_par, r_seq,
+            fn = _make_db_fnK(tuple(shapes), n1r, tile, c_par, r_seq,
                               lorder, params, interpret, rng_mode, lsoln)
         else:
-            fn = _make_db_scan_fn2(tuple(shapes), n1, c_par, r_seq,
+            fn = _make_db_scan_fn2(tuple(shapes), n1r, c_par, r_seq,
                                    lorder, params, interpret, rng_mode,
-                                   lsoln)
+                                   lsoln, mesh)
         parts.append(fn(seed, jnp.asarray(tags[sl], jnp.int32),
+                        jnp.asarray(n1s[sl], jnp.int32),
                         jnp.asarray(qts[sl]), jnp.asarray(qtabps[sl]),
                         jnp.asarray(qdmats[sl]), chunk_args))
     outs = parts[0] if len(parts) == 1 else _concat_k(len(parts))(*parts)
-    return (db, n1, n1r, chunk_meta, outs, K)
+    return (db, n1s[:K], n1r, chunk_meta, outs, K)
 
 
 def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -698,11 +474,12 @@ def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     host-side slicing into per-query (scores, maps) in file order."""
     from ..parallel.distributed import to_host
 
-    db, n1, n1r, chunk_meta, (scores_k, maps_k), K = handle
+    db, n1s, n1r, chunk_meta, (scores_k, maps_k), K = handle
     sf_k = to_host(scores_k)
     mf_k = None if maps_k is None else to_host(maps_k)
     results = []
     for qi in range(K):
+        n1 = n1s[qi]
         scores = np.zeros((db.nentries,), np.int32)
         maps = np.full((db.nentries, n1), -1, np.int32)
         off = 0
@@ -749,10 +526,10 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
             chunk_meta.append(((bucket, ch["start"], ch["end"]),
                                ch["size"]))
 
-    fn = _make_db_fn2(tuple(shapes), n1, c_par, r_seq, lorder, params,
+    fn = _make_db_fn2(tuple(shapes), n1r, c_par, r_seq, lorder, params,
                       interpret, rng_mode, lsoln, mesh)
-    outs = fn(seed, query_tag, jnp.asarray(qtypes), jnp.asarray(qtabp),
-              jnp.asarray(qdmat), chunk_args)
+    outs = fn(seed, query_tag, n1, jnp.asarray(qtypes),
+              jnp.asarray(qtabp), jnp.asarray(qdmat), chunk_args)
     return (db, n1, n1r, chunk_meta, outs)
 
 

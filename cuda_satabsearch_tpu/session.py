@@ -110,11 +110,16 @@ class SearchSession:
         from .ops.pallas_search import (assemble_db_pallas2_multi,
                                         dispatch_db_pallas2_multi)
 
-        # group queries by SSE count (the kernel is specialized per
-        # order); each group is ONE device program + ONE drain
+        # group queries by round8(SSE count) — the kernel is
+        # specialized per 8-padded order bucket and takes exact orders
+        # at runtime, so real mixed-order streams (multiquery.input,
+        # query lists) batch into a handful of device programs; each
+        # group is ONE device program + ONE drain
+        from .ops.common import round8
+
         order_groups: dict[int, list[int]] = {}
         for i, q in enumerate(queries):
-            order_groups.setdefault(q.order, []).append(i)
+            order_groups.setdefault(round8(q.order), []).append(i)
 
         handles = []
         for order, idxs in order_groups.items():

@@ -16,7 +16,7 @@ import numpy as np
 from cuda_satabsearch_tpu.io.parser import read_database, parse_search_input
 from cuda_satabsearch_tpu.io.pack import pack_database, pack_query
 from cuda_satabsearch_tpu.ops.pallas_search import prepare_bucket_pallas2
-from cuda_satabsearch_tpu.ops.pallas_sa import prepare_query, round8
+from cuda_satabsearch_tpu.ops.common import prepare_query, round8
 from cuda_satabsearch_tpu.ops.pallas_sa2 import (
     make_pallas2_bucket_search, make_qb2)
 from cuda_satabsearch_tpu.ops.search import choose_chains

@@ -29,10 +29,13 @@ def profile_shape(E, n1, d2, *, r_seq, reps, maxiter=None, lorder=True):
     import jax
     import jax.numpy as jnp
 
+    from cuda_satabsearch_tpu.core.cache import enable_compile_cache
     from cuda_satabsearch_tpu.core.constants import SAParams, DEFAULTS
+
+    enable_compile_cache()
     from cuda_satabsearch_tpu.ops.pallas_sa2 import (
         make_pallas2_bucket_search, make_qb2_batched)
-    from cuda_satabsearch_tpu.ops.pallas_sa import round8
+    from cuda_satabsearch_tpu.ops.common import round8
 
     params = DEFAULTS if maxiter is None else SAParams(maxiter=maxiter)
     n1r = round8(n1)

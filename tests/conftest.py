@@ -60,5 +60,10 @@ def random_entry(rng: np.random.Generator, n: int, name: str = "synth") -> Table
     d = np.triu(d, 1)
     d = (d + d.T).astype(np.float32)
     np.fill_diagonal(d, types.astype(np.float32))
+    # pre-quantize to the pack-time bf16 grid so cross-backend bitwise
+    # tests feed every implementation the values the kernel would see
+    # (io/pack.py quantize_dmat); quantization is idempotent under pack
+    from cuda_satabsearch_tpu.io.pack import quantize_dmat
+
     return TableauEntry(name=name, order=n, tabhi=hi, tablo=lo,
-                        types=types, dmat=d.astype(np.float32))
+                        types=types, dmat=quantize_dmat(d))

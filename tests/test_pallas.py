@@ -1,8 +1,8 @@
 """Pallas kernel vs engine vs golden: bitwise lockstep parity.
 
-The kernel consumes a supplied uniforms block with the same slot
-schedule as the golden model and the engine, so on the same backend all
-three must produce identical scores and best maps.
+The kernel consumes uniform streams with the same n1r slot schedule as
+the golden model and the engine, so on the same backend all three must
+produce identical scores and best maps.
 """
 
 import numpy as np
@@ -13,15 +13,12 @@ import jax.numpy as jnp  # noqa: E402
 
 from cuda_satabsearch_tpu.io.pack import pack_query  # noqa: E402
 from cuda_satabsearch_tpu.ops import golden  # noqa: E402
+from cuda_satabsearch_tpu.ops.common import (  # noqa: E402
+    make_uniforms, pack_tab, prepare_query, round8)
 from cuda_satabsearch_tpu.ops.engine import make_bucket_search  # noqa: E402
-from cuda_satabsearch_tpu.ops.pallas_sa import (  # noqa: E402
-    make_pallas_bucket_search, make_uniforms, pack_tab, prepare_query,
-    round8)
 from cuda_satabsearch_tpu.ops.search import entry_keys  # noqa: E402
 
 from conftest import random_entry  # noqa: E402
-
-USE_CUMSUM = False
 
 
 def _bucket_arrays(entries, d2):
@@ -44,29 +41,6 @@ def _bucket_arrays(entries, d2):
     return types, tabhi, tablo, dmat, orders
 
 
-def _run_kernel(query, entries, d2, c_par, r_seq, lorder, keys):
-    E = len(entries)
-    n1 = query.order
-    n1r = round8(n1)
-    P = n1 + 3 * 100
-    types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
-    qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
-    tab2p = np.zeros((E, d2, d2), np.float32)
-    for i in range(E):
-        tab2p[i] = pack_tab(tabhi[i], tablo[i])
-    uniforms = make_uniforms(keys, r_seq, P, c_par)
-    fn = make_pallas_bucket_search(E, n1, d2, c_par, r_seq, lorder,
-                                   interpret=True, use_cumsum=USE_CUMSUM)
-    scores, best = fn(jnp.asarray(orders), jnp.asarray(qtypes),
-                      jnp.asarray(qtypesv), jnp.asarray(qtabp),
-                      jnp.asarray(qdmat),
-                      jnp.asarray(types.astype(np.int32))[:, :, None],
-                      jnp.asarray(tab2p), jnp.asarray(dmat),
-                      uniforms)
-    return (np.asarray(scores)[:, 0, 0],
-            np.asarray(best)[:, :n1, 0], uniforms)
-
-
 def _run_engine(query, entries, d2, c_par, r_seq, lorder, keys):
     types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
     fn = make_bucket_search(query.order, d2, c_par, r_seq, lorder, "take")
@@ -77,44 +51,23 @@ def _run_engine(query, entries, d2, c_par, r_seq, lorder, keys):
     return np.asarray(s), np.asarray(m)
 
 
-@pytest.mark.parametrize("lorder", [True, False])
-def test_kernel_matches_engine(lorder):
-    rng = np.random.default_rng(7)
-    entries = [random_entry(rng, n, f"e{n}") for n in (5, 9, 14, 16)]
-    query = pack_query(random_entry(rng, 7, "q"))
-    keys = entry_keys(1234, 0, np.arange(len(entries)))
-    c_par, r_seq, d2 = 16, 2, 16
-
-    ks, kb, _ = _run_kernel(query, entries, d2, c_par, r_seq, lorder, keys)
-    es, eb = _run_engine(query, entries, d2, c_par, r_seq, lorder, keys)
-    np.testing.assert_array_equal(ks, es)
-    np.testing.assert_array_equal(kb, eb)
-
-
 def test_kernel_matches_golden_chain():
-    """Check a few individual chains against the scalar golden model."""
+    """v2 kernel chains vs the scalar golden model, chain by chain
+    (supplied streams, interpret mode, single entry so chain maps are
+    unambiguous)."""
     rng = np.random.default_rng(3)
     entries = [random_entry(rng, 11, "db0")]
     query = pack_query(random_entry(rng, 6, "q"))
-    keys = entry_keys(99, 5, np.arange(1))
-    c_par, r_seq, d2 = 128, 2, 16
+    c_par, r_seq = 128, 2
     n1 = query.order
-    P = n1 + 3 * 100
+    P = golden.uniforms_per_restart(n1)
+    seed, tag = 1234, 5
 
-    ks, kb, uniforms = _run_kernel(query, entries, d2, c_par, r_seq, True,
-                                   keys)
-    u = np.asarray(uniforms)[0]  # [r_seq, P, C]
+    (ks, kb), _db = _run_db_v2(query, entries, c_par, r_seq, True,
+                               seed=seed, tag=tag)
+    keys = entry_keys(seed, tag, np.arange(1))
+    u = np.asarray(make_uniforms(keys, r_seq, P, c_par))[0]  # [r, P, C]
 
-    best = golden.MAXSCORE_INIT if hasattr(golden, "MAXSCORE_INIT") else -99999
-    best = -99999
-    for c in range(0, 128, 17):  # sample some chains
-        flat = np.concatenate([u[r, :, c] for r in range(r_seq)])
-        res = golden.sa_chain(query, entries[0], True, r_seq, flat)
-        best = max(best, res.maxscore)
-    # the kernel max over all chains is >= max over the sampled subset
-    assert ks[0] >= best
-
-    # full check: max over all 128 chains equals the kernel score
     allmax = -99999
     for c in range(128):
         flat = np.concatenate([u[r, :, c] for r in range(r_seq)])
@@ -128,10 +81,13 @@ def test_kernel_cpar_masking():
     rng = np.random.default_rng(11)
     entries = [random_entry(rng, 10, "db0")]
     query = pack_query(random_entry(rng, 5, "q"))
-    keys = entry_keys(7, 0, np.arange(1))
+    seed, tag = 7, 0
 
-    s8, _, u = _run_kernel(query, entries, 16, 8, 1, True, keys)
-    un = np.asarray(u)[0]
+    (s8, _), _db = _run_db_v2(query, entries, 8, 1, True,
+                              seed=seed, tag=tag)
+    keys = entry_keys(seed, tag, np.arange(1))
+    P = golden.uniforms_per_restart(query.order)
+    un = np.asarray(make_uniforms(keys, 1, P, 8))[0]
     allmax = -99999
     for c in range(8):
         res = golden.sa_chain(query, entries[0], True, 1, un[0, :, c])
@@ -144,9 +100,8 @@ def test_kernel_cpar_masking():
 def test_kernel_pltpu_rng_mode():
     """In-kernel PRNG mode: deterministic, plausible scores (stream
     differs from golden by design, like the reference's CPU vs GPU)."""
-    import jax.numpy as jnp
-    from cuda_satabsearch_tpu.ops.pallas_sa import (
-        make_pallas_bucket_search, prepare_query, pack_tab, round8)
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        make_pallas2_bucket_search, make_qb2)
 
     rng = np.random.default_rng(21)
     entries = [random_entry(rng, n, f"e{n}") for n in (6, 10, 15)]
@@ -155,19 +110,22 @@ def test_kernel_pltpu_rng_mode():
     E, n1 = len(entries), query.order
     n1r = round8(n1)
     types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
-    qtypes, qtypesv, qtabp, qdmat = prepare_query(query, n1r)
+    qtypes, _qtv, qtabp, qdmat = prepare_query(query, n1r)
     tab2p = np.stack([pack_tab(tabhi[i], tablo[i]) for i in range(E)])
-    fn = make_pallas_bucket_search(E, n1, d2, c_par, r_seq, True,
-                                   interpret=False, rng_mode="pltpu")
+    fn, G = make_pallas2_bucket_search(E, n1, d2, c_par, r_seq, True,
+                                       interpret=False, rng_mode="pltpu",
+                                       lsoln=True)
+    qb2t, qb2d = make_qb2(qtabp, qdmat, G)
+    qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
     packed = np.concatenate([[1234, 0], np.arange(E)]).astype(np.int32)
-    args = (jnp.asarray(orders), jnp.asarray(qtypes), jnp.asarray(qtypesv),
-            jnp.asarray(qtabp), jnp.asarray(qdmat),
-            jnp.asarray(types.astype(np.int32))[:, :, None],
-            jnp.asarray(tab2p), jnp.asarray(dmat), jnp.asarray(packed))
+    args = (jnp.asarray(orders), jnp.asarray(qtypes), qtv, qb2t, qb2d,
+            jnp.asarray(types.astype(np.int32).reshape(E * d2, 1)),
+            jnp.asarray(tab2p.reshape(E * d2, d2)),
+            jnp.asarray(dmat.reshape(E * d2, d2)), jnp.asarray(packed))
     s1, m1 = fn(*args)
     s2, m2 = fn(*args)
-    s1 = np.asarray(s1)[:, 0, 0]
-    np.testing.assert_array_equal(s1, np.asarray(s2)[:, 0, 0])  # deterministic
+    s1 = np.asarray(s1)[0, :, 0]
+    np.testing.assert_array_equal(s1, np.asarray(s2)[0, :, 0])
     # compare against engine scores on the same problem: same magnitude
     es, _ = _run_engine(query, entries, d2, c_par, r_seq, True,
                         entry_keys(1234, 0, np.arange(E)))
@@ -239,8 +197,6 @@ def test_kernel_v2_query_batched():
     (supplied streams, interpret)."""
     from cuda_satabsearch_tpu.ops.pallas_sa2 import (
         make_pallas2_bucket_search, make_qb2)
-    from cuda_satabsearch_tpu.ops.pallas_sa import (pack_tab,
-                                                    prepare_query, round8)
 
     rng = np.random.default_rng(31)
     entries = [random_entry(rng, int(n), f"e{i}")
@@ -249,7 +205,7 @@ def test_kernel_v2_query_batched():
     d2, c_par, r_seq, n1 = 16, 16, 1, 7
     E = len(entries)
     n1r = round8(n1)
-    P = n1 + 3 * 100
+    P = golden.uniforms_per_restart(n1)
     types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
     tab2p = np.stack([pack_tab(tabhi[i], tablo[i]) for i in range(E)])
 
@@ -319,3 +275,32 @@ def test_db_multi_batched_matches_single():
             q, db, query_tag=5 + qi, **kw))
         np.testing.assert_array_equal(multi[qi][0], s1)
         np.testing.assert_array_equal(multi[qi][1], m1)
+
+
+def test_db_multi_batched_mixed_orders():
+    """Mixed exact orders within one round8 bucket batch into ONE
+    kernel set and match per-query dispatch bitwise (the n1r slot
+    schedule contract)."""
+    from cuda_satabsearch_tpu.io.pack import pack_database
+    from cuda_satabsearch_tpu.ops.pallas_search import (
+        assemble_db_pallas2, assemble_db_pallas2_multi,
+        dispatch_db_pallas2, dispatch_db_pallas2_multi)
+
+    rng = np.random.default_rng(43)
+    entries = [random_entry(rng, int(n), f"e{i}")
+               for i, n in enumerate(rng.integers(4, 30, size=13))]
+    # orders 4..8 all round8 to 8 — one batch group
+    queries = [pack_query(random_entry(rng, n, f"q{n}"))
+               for n in (4, 6, 7, 8, 5)]
+    db = pack_database(entries, buckets=(16, 32, 112))
+    kw = dict(maxstart=16, lorder=True, seed=9, c_max=16,
+              interpret=True, rng_mode="supplied", lsoln=True)
+
+    multi = assemble_db_pallas2_multi(dispatch_db_pallas2_multi(
+        queries, db, query_tags=[5, 6, 7, 8, 9], **kw))
+    for qi, q in enumerate(queries):
+        s1, m1 = assemble_db_pallas2(dispatch_db_pallas2(
+            q, db, query_tag=5 + qi, **kw))
+        np.testing.assert_array_equal(multi[qi][0], s1)
+        np.testing.assert_array_equal(multi[qi][1], m1)
+        assert multi[qi][1].shape[1] == q.order
