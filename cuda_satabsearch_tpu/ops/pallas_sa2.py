@@ -593,14 +593,18 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 startj = jnp.zeros((G, C), I32)
                 endj = n2col
 
-            cand = ((l_idx() >= rep_d(startj)) & (l_idx() < rep_d(endj))
-                    & (types2 == rep_d(qt)) & (rmap_v < 0))
-            candf = cand.astype(F32)
-            count = seg_sum_d(candf)  # [G, C]
-            rpick = ((u_cand - p.eps) * count).astype(I32)
-            cum = cum_seg(candf).astype(I32)
-            hit = cand & (cum == rep_d(rpick) + 1)
-            newj = seg_max_d(jnp.where(hit, l_idx(), -1))  # [G, C]
+            if "select" in knock:  # profiling stand-in
+                newj = (rep_d(startj) * 0 + l_idx())[0:G, :] % d2
+            else:
+                cand = ((l_idx() >= rep_d(startj))
+                        & (l_idx() < rep_d(endj))
+                        & (types2 == rep_d(qt)) & (rmap_v < 0))
+                candf = cand.astype(F32)
+                count = seg_sum_d(candf)  # [G, C]
+                rpick = ((u_cand - p.eps) * count).astype(I32)
+                cum = cum_seg(candf).astype(I32)
+                hit = cand & (cum == rep_d(rpick) + 1)
+                newj = seg_max_d(jnp.where(hit, l_idx(), -1))  # [G, C]
 
             oldj = seg_sum_q(jnp.where(m1, smap_v, 0))  # [G, C]
 
@@ -650,6 +654,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             # agree bitwise, unlike their exp lowerings
             lacc = u_acc if rng_mode == "supplied" else jnp.log(u_acc)
             accept = delta > temp * lacc  # [G, C]
+            if "update" in knock:  # profiling stand-in
+                score[...] = jnp.where(accept, newscore, score[...])
+                return temp * p.alpha
             accq = rep_q(jnp.where(accept, 1, 0)) == 1
             accd = rep_d(jnp.where(accept, 1, 0)) == 1
             score[...] = jnp.where(accept, newscore, score[...])

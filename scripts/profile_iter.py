@@ -21,8 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 KNOCKS = [(), ("rng",), ("thinit",), ("initscore",), ("gather",),
-          ("lorder",), ("fetch",), ("tsc",),
-          ("gather", "fetch", "tsc")]
+          ("lorder",), ("fetch",), ("tsc",), ("select",), ("update",),
+          ("gather", "fetch", "tsc"),
+          ("gather", "fetch", "tsc", "select", "update", "lorder")]
 
 
 def profile_shape(E, n1, d2, *, r_seq, reps, maxiter=None, lorder=True):
@@ -67,13 +68,16 @@ def profile_shape(E, n1, d2, *, r_seq, reps, maxiter=None, lorder=True):
         args = [jnp.asarray(x) for x in
                 (n2, qtypes, qtv, qb2t, qb2d, types2, tab2p, dmat2,
                  rng_in, tags)]
-        jfn = jax.jit(lambda *a: fn(*a)[0])
-        out = jfn(*args)  # compile
-        out.block_until_ready()
+        # reduce on device so the drain transfer is tiny; drain with a
+        # REAL D2H (np.asarray) — on the axon platform
+        # block_until_ready() returns before the device work finishes,
+        # so transfer-free timing measures only dispatch
+        jfn = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))
+        np.asarray(jfn(*args))  # compile + run
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jfn(*args).block_until_ready()
+            np.asarray(jfn(*args))
             best = min(best, time.perf_counter() - t0)
         results[",".join(knock) or "full"] = best
     return results
