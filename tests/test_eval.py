@@ -381,3 +381,61 @@ def test_split_multiquery(tmp_path):
         "d1ubia_.out", "d2phlb1.out"]
     body = (tmp_path / "d1ubia_.out").read_text()
     assert "d1abca_    10" in body and "d9bigx_    20" in body
+
+
+def test_extrunner_per_file(tmp_path):
+    """run_per_file drives one command per input (qptabmatch_allall
+    semantics: .out/.err per query in a created results dir)."""
+    from cuda_satabsearch_tpu.eval.extrunner import (collect_2col,
+                                                     run_per_file)
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (qdir / "d1abca_.tableaudistmatrix").write_text("A\n")
+    (qdir / "d2defb_.tableaudistmatrix").write_text("B\n")
+    (qdir / "ignored.txt").write_text("x\n")
+    res = run_per_file("echo {name} 12.5; echo hit2 3.5", str(qdir),
+                       str(tmp_path / "results"), db_file="dbf")
+    assert [r.name for r in res] == ["d1abca_", "d2defb_"]
+    assert all(r.returncode == 0 for r in res)
+    body = (tmp_path / "results" / "d1abca_.out").read_text()
+    assert body == "d1abca_ 12.5\nhit2 3.5\n"
+    # tableausearch-format output normalizes through the adapter layer
+    cols = collect_2col(res, "tableausearch", str(tmp_path / "cols"))
+    assert (tmp_path / "cols" / "d2defb_.2col").read_text() == (
+        "d2defb_    12.5\nhit2    3.5\n")
+    assert len(cols) == 2
+
+
+def test_extrunner_stdin_and_pairs(tmp_path):
+    """stdin mode feeds the query file (tsrchd protocol); pairs mode
+    runs the n*n comparisons of qptabmatch_allpairs."""
+    from cuda_satabsearch_tpu.eval.extrunner import (run_all_pairs,
+                                                     run_per_file)
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "a.td").write_text("alpha\n")
+    (qdir / "b.td").write_text("beta\n")
+    res = run_per_file("cat", str(qdir), str(tmp_path / "r1"),
+                       suffix=".td", stdin=True)
+    assert (tmp_path / "r1" / "a.out").read_text() == "alpha\n"
+    pairs = run_all_pairs("echo {name}", str(qdir), str(tmp_path / "r2"),
+                          suffix=".td")
+    assert sorted(r.name for r in pairs) == [
+        "a__a", "a__b", "b__a", "b__b"]
+    assert (tmp_path / "r2" / "a__b.out").read_text() == "a__b\n"
+
+
+def test_extrunner_cli(tmp_path):
+    from cuda_satabsearch_tpu.eval.extrunner import main as ext_main
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "x.td").write_text("data\n")
+    rc = ext_main(["--program", "echo hit 1.0", "--query-dir", str(qdir),
+                   "--results-dir", str(tmp_path / "out"),
+                   "--suffix", ".td"])
+    assert rc == 0
+    assert (tmp_path / "out" / "x.out").read_text() == "hit 1.0\n"
+    rc = ext_main(["--program", "false", "--query-dir", str(qdir),
+                   "--results-dir", str(tmp_path / "out2"),
+                   "--suffix", ".td"])
+    assert rc == 1
