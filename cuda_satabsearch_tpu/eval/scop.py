@@ -141,3 +141,93 @@ def sample_query_list(domains, n: int, seed: int = 1,
         idx = rng.choice(len(pool), size=k, replace=False)
         picks.extend(pool[i] for i in sorted(idx))
     return picks
+
+
+def _db_names(dbfile: str) -> list[str]:
+    """Entry names of an ASCII DB (header lines are 'name order')."""
+    names = []
+    with open(dbfile) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) == 2 and not parts[0][0].isdigit():
+                try:
+                    int(parts[1])
+                except ValueError:
+                    continue
+                names.append(parts[0])
+    return names
+
+
+def main(argv=None) -> int:
+    """SCOP metadata CLI — the driver surface of tsevalfn.py /
+    scopdominfo.py / genquerylist.py: produce gold-standard files,
+    domain info lines, or class-proportional query lists from a SCOP(e)
+    dir.cla classification file."""
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(
+        prog="python -m cuda_satabsearch_tpu.eval.scop",
+        description="SCOP gold-standard / metadata utilities "
+                    "(dir.cla-based)")
+    ap.add_argument("--cla", required=True,
+                    help="SCOP(e) dir.cla classification file")
+    ap.add_argument("--make-gold", default=None,
+                    choices=sorted(LEVEL_PARTS),
+                    help="emit a gold-standard file ('qid pos1 pos2 ...' "
+                         "lines) at this level, consumable by "
+                         "python -m cuda_satabsearch_tpu.eval --gold")
+    ap.add_argument("--queries", default=None,
+                    help="file of query sids (one per line; default: "
+                         "every classified sid)")
+    ap.add_argument("--restrict-db", default=None,
+                    help="ASCII DB file; positives not present in it "
+                         "are dropped (tsevalutils 'filter to db')")
+    ap.add_argument("--dominfo", nargs="*", default=None,
+                    help="print 'sid sccs fold sf' lines for these sids "
+                         "(scopdominfo.py equivalent)")
+    ap.add_argument("--sample-queries", type=int, default=None,
+                    metavar="N",
+                    help="print N class-proportional query sids "
+                         "(genquerylist.py equivalent)")
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("-o", "--output", default=None)
+    args = ap.parse_args(argv)
+
+    domains = parse_cla(args.cla)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        if args.dominfo is not None:
+            for line in domain_info(domains, args.dominfo):
+                out.write(line + "\n")
+        elif args.sample_queries is not None:
+            avail = None
+            if args.restrict_db:
+                avail = _db_names(args.restrict_db)
+            for sid in sample_query_list(domains, args.sample_queries,
+                                         seed=args.seed, available=avail):
+                out.write(sid + "\n")
+        elif args.make_gold:
+            queries = None
+            if args.queries:
+                with open(args.queries) as fh:
+                    queries = [ln.strip() for ln in fh if ln.strip()]
+            restrict = (_db_names(args.restrict_db)
+                        if args.restrict_db else None)
+            gold = scop_gold(domains, queries=queries,
+                             level=args.make_gold, restrict_to=restrict)
+            for qid in sorted(gold):
+                out.write(" ".join([qid] + sorted(gold[qid])) + "\n")
+        else:
+            ap.error("one of --make-gold / --dominfo / --sample-queries "
+                     "is required")
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -439,3 +439,53 @@ def test_extrunner_cli(tmp_path):
                    "--results-dir", str(tmp_path / "out2"),
                    "--suffix", ".td"])
     assert rc == 1
+
+
+def test_scop_cli_make_gold(tmp_path):
+    """The scop module CLI produces gold files / dominfo / query lists
+    from dir.cla (the tsevalfn/scopdominfo/genquerylist driver
+    surface)."""
+    from cuda_satabsearch_tpu.eval.scop import main as scop_main
+    cla = tmp_path / "dir.cla.scop.txt"
+    cla.write_text(
+        "# comment\n"
+        "d1aaaa_ 1aaa A: b.1.1.1 1001 cl=46456\n"
+        "d1bbba_ 1bbb A: b.1.1.2 1002 cl=46456\n"
+        "d1ccca_ 1ccc A: b.1.2.1 1003 cl=46456\n"
+        "d1ddda_ 1ddd A: c.2.1.1 1004 cl=46456\n")
+    gold = tmp_path / "fold.gold"
+    rc = scop_main(["--cla", str(cla), "--make-gold", "fold",
+                    "-o", str(gold)])
+    assert rc == 0
+    lines = gold.read_text().splitlines()
+    assert "d1aaaa_ d1aaaa_ d1bbba_ d1ccca_" in lines
+    assert "d1ddda_ d1ddda_" in lines
+    # superfamily level separates b.1.1 from b.1.2
+    rc = scop_main(["--cla", str(cla), "--make-gold", "superfamily",
+                    "-o", str(gold)])
+    assert "d1aaaa_ d1aaaa_ d1bbba_" in gold.read_text().splitlines()
+    # restrict to a DB: build a tiny ASCII header-only db
+    db = tmp_path / "db.ascii"
+    db.write_text("d1aaaa_ 8\nd1ccca_ 12\n")
+    rc = scop_main(["--cla", str(cla), "--make-gold", "fold",
+                    "--restrict-db", str(db), "-o", str(gold)])
+    assert "d1aaaa_ d1aaaa_ d1ccca_" in gold.read_text().splitlines()
+    # the produced gold file round-trips through the eval loader
+    from cuda_satabsearch_tpu.eval.__main__ import load_gold_standard
+    g = load_gold_standard(str(gold))
+    assert g["d1aaaa_"] == {"d1aaaa_", "d1ccca_"}
+
+
+def test_scop_cli_dominfo_and_sample(tmp_path, capsys):
+    from cuda_satabsearch_tpu.eval.scop import main as scop_main
+    cla = tmp_path / "cla.txt"
+    cla.write_text("".join(
+        f"d1a{i:02d}a_ 1a{i:02d} A: {c}.1.1.1 {1000+i} cl=1\n"
+        for i, c in enumerate("aaabbbbbcc")))
+    scop_main(["--cla", str(cla), "--dominfo", "d1a00a_", "d9zzza_"])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "d1a00a_ a.1.1.1 a.1 a.1.1"
+    assert out[1].startswith("# d9zzza_")
+    scop_main(["--cla", str(cla), "--sample-queries", "5", "--seed", "2"])
+    picks = capsys.readouterr().out.split()
+    assert len(picks) == 5
