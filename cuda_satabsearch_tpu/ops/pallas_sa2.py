@@ -63,10 +63,10 @@ BF16 = jnp.bfloat16  # MXU-native; exact for one-hots and codes <= 256
 # best (group, fetch, cum) per bucket width.  Group is a preference;
 # the factory falls back to the largest power-of-two divisor of E at
 # or below it.
-TUNED_CONFIG = {8: (16, "bd", "mxu"), 16: (8, "bd", "roll"),
-                24: (4, "bd", "roll"), 32: (8, "bd", "mxu"),
-                40: (8, "bd", "mxu"), 48: (4, "gdot", "mxu"),
-                56: (4, "gdot", "mxu"), 64: (4, "gdot", "mxu"),
+TUNED_CONFIG = {8: (16, "bd", "mxu"), 16: (16, "bd", "roll"),
+                24: (16, "gdot", "mxu"), 32: (16, "gdot", "mxu"),
+                40: (16, "gdot", "mxu"), 48: (8, "gdot", "mxu"),
+                56: (8, "gdot", "mxu"), 64: (4, "gdot", "mxu"),
                 72: (4, "gdot", "mxu"), 80: (2, "gdot", "mxu"),
                 88: (2, "gdot", "mxu"), 96: (2, "gdot", "mxu"),
                 104: (2, "gdot", "mxu"), 112: (2, "gdot", "mxu")}
@@ -127,22 +127,22 @@ def make_qb2_batched(qtabps, qdmats, G: int):
 def choose_fetch(d2: int, group: int | None = None) -> str:
     """Column-fetch strategy for the one-hot tableau/distance reads.
 
-    'bd': one [G*d2, G*d2] block-diagonal MXU dot per column — perfectly
-    MXU-shaped but does G x the useful FLOPs (the off-diagonal blocks
-    are zero).  'gdot': G independent [d2, d2] x [d2, C] dots — G x fewer
-    FLOPs but each small dot underfills the 128-wide systolic array.
-    Measured on real HW (scripts/sweep2.py): bd wins up to G*d2 = 256
-    (the per-dot issue cost of G tiny dots dominates), gdot beyond
-    (the bd dot is quadratic in G*d2).
+    'bd': all G entries in one [G*d2, G*d2] block-diagonal MXU dot per
+    column block — perfectly MXU-shaped but quadratic in G (the
+    off-diagonal blocks are zero).  'gdot': one entry per [d2, d2] x
+    [d2, W] dot — minimal FLOPs but issue-bound at large G.  'bd<k>':
+    the unified blocked form, k entries per block.  Measured on real
+    HW: one block wins while G*d2 <= 256; beyond that, blocks of
+    ~256/d2 entries balance MXU FLOPs against dot-issue count.
     """
     if d2 in TUNED_CONFIG:
         fetch = TUNED_CONFIG[d2][1]
         if fetch == "bd" and group is not None and group * d2 > 512:
-            return "gdot"  # bd scratch would not be VMEM-sized
+            return f"bd{max(1, 256 // d2)}"
         return fetch
-    if group is not None:
-        return "bd" if group * d2 <= 256 else "gdot"
-    return "bd" if d2 <= 16 else "gdot"
+    if group is not None and group * d2 <= 256:
+        return "bd"
+    return f"bd{max(1, 256 // d2)}"
 
 
 def choose_cum(d2: int) -> str:
@@ -231,7 +231,21 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     NQH = n1r * G  # qb2 half offset (same value, named for clarity)
     PG = P * G  # uniforms rows per restart (slot-major)
     PGpad = round8(PG)
-    kloop_unroll = n1r <= 16
+    kloop_unroll = n1r <= 32
+    # entries per fetch/cum MXU block: "bd" = all G in one block-
+    # diagonal dot (quadratic in G), "gdot" = one entry per dot
+    # (issue-bound at large G), "bd<k>" = k per block — the unified
+    # blocked form; B must divide G
+    if fetch == "bd":
+        B = G
+    elif fetch == "gdot":
+        B = 1
+    else:
+        B = min(G, int(fetch[2:]))
+    while G % B:
+        B -= 1
+    BD = B * d2  # fetch-block rows
+    NB = DQ // BD
 
     def iota_d():  # flat db-side iota
         return lax.broadcasted_iota(I32, (DQ, C), 0)
@@ -273,55 +287,58 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     def seg_max_q(x):
         return jnp.max(x.reshape(G, n1r, C), axis=1)
 
-    def extract_q(state, k):
-        """state [NQ, C], row k of each segment -> [G, C] (k static or
-        traced scalar)."""
-        return seg_sum_q(jnp.where(k_idx() == k, state, 0))
-
-    def prefix_sum_seg(x):
+    def prefix_sum_seg(x, li):
         """Inclusive prefix sum within each d2 segment (masked rolls:
         p - s stays in-segment iff l_idx(p) >= s)."""
-        li = l_idx()
         s = 1
         while s < d2:
             x = x + jnp.where(li >= s, pltpu.roll(x, s, 0), 0.0)
             s *= 2
         return x
 
-    def make_gather_by_revmap(qct_s, qcd_s):
+    def pack_qc(qct, qcd):
+        """Pack the query column pair into ONE f32 per row: bf16 bit
+        pattern of the distance * 64 + tableau code (<= 2^22, f32-exact;
+        distances are on the bf16 grid so their f32 bits have zero low
+        halves).  One gather accumulator instead of two."""
+        bits = jax.lax.shift_right_logical(
+            pltpu.bitcast(qcd, jnp.uint32), jnp.uint32(16))
+        return pltpu.bitcast(bits, I32).astype(F32) * 64.0 + qct
+
+    def unpack_qc(qs):
+        """(code_f32, dist_f32) from a packed/gathered qc value; zero
+        unpacks to (0, 0.0) like the old two-array gather."""
+        b = jnp.floor(qs * 0.015625)
+        code = qs - b * 64.0
+        dist = pltpu.bitcast(
+            jax.lax.shift_left(b.astype(I32), 16), F32)
+        return code, dist
+
+    def make_gather_by_revmap(qc_s):
         """Build the revmap gather: qs[p, c] = qc[(revmap[p, c], g(p)), c]
-        — the query-side code/distance of the SSE each mapped db SSE is
+        — the packed query-side value of the SSE each mapped db SSE is
         matched to.  Rows with revmap < 0 keep 0 (callers gate).
 
-        For small n1 the k loop unrolls with static value slices; for
-        large n1 it stays a fori_loop reading [G, C] slices from the
-        qct_s/qcd_s scratch refs (Mosaic cannot lower dynamic_slice on
+        For small/medium n1 the k loop unrolls with static value
+        slices; for large n1 it stays a fori_loop reading [G, C] slices
+        from the qc_s scratch ref (Mosaic cannot lower dynamic_slice on
         a VALUE inside a loop, only dynamic ref indexing)."""
-        def gather(qct, qcd, rmap_v):
+        def gather(qc, rmap_v):
             if "gather" in knock:  # profiling stand-in
-                z = rep_d(qct[0:G]) + rep_d(qcd[0:G])
-                return z, z * 0.5
+                return rep_d(qc[0:G])
 
-            def body(k, carry):
-                qs_t, qs_d = carry
-                qv_t = qct_s[pl.ds(k * G, G), :]
-                qv_d = qcd_s[pl.ds(k * G, G), :]
-                m = rmap_v == k
-                return (jnp.where(m, rep_d(qv_t), qs_t),
-                        jnp.where(m, rep_d(qv_d), qs_d))
+            def body(k, qs):
+                qv = qc_s[pl.ds(k * G, G), :]
+                return jnp.where(rmap_v == k, rep_d(qv), qs)
 
-            carry = (jnp.zeros((DQ, C), F32), jnp.zeros((DQ, C), F32))
+            qs = jnp.zeros((DQ, C), F32)
             if kloop_unroll:
                 for k in range(n1r):  # padded k never appear in rmap_v
-                    m = rmap_v == k
-                    carry = (jnp.where(m, rep_d(qct[k * G:(k + 1) * G]),
-                                       carry[0]),
-                             jnp.where(m, rep_d(qcd[k * G:(k + 1) * G]),
-                                       carry[1]))
-                return carry
-            qct_s[...] = qct
-            qcd_s[...] = qcd
-            return lax.fori_loop(0, n1r, body, carry)
+                    qs = jnp.where(rmap_v == k,
+                                   rep_d(qc[k * G:(k + 1) * G]), qs)
+                return qs
+            qc_s[...] = qc
+            return lax.fori_loop(0, n1r, body, qs)
 
         return gather
 
@@ -343,16 +360,15 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         ssemap, revmap, score, maxscore = rest[:4]
         rest = rest[4:]
         bestmap = rest.pop(0) if lsoln else None
-        uni = rest.pop(0)
-        qct_s = qcd_s = None
+        qc_s = None
         if not kloop_unroll:
-            qct_s = rest.pop(0)
-            qcd_s = rest.pop(0)
-        bd_tab = bd_dmat = None
-        if fetch == "bd":
-            bd_tab = rest.pop(0)
-            bd_dmat = rest.pop(0)
+            qc_s = rest.pop(0)
+        bd_all = rest.pop(0)  # [2DQ, BD]: per block, tab rows above dmat
         tril = rest.pop(0) if cum == "mxu" else None
+
+        # loop-invariant index planes, computed once per grid step
+        li = l_idx()
+        ki = k_idx()
 
         eg = pl.program_id(0)
         q = pl.program_id(1)
@@ -365,33 +381,63 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             [jnp.full((1, C), n2_ref[eg * G + g], I32) for g in range(G)],
             axis=0)
 
+        # ---- query types packed 4 bits/SSE into scalar words (cheap
+        # per-lane extraction at ssei, replacing a [NQ, C] masked
+        # reduction per iteration); padded slots (type 127 -> nibble
+        # 15) are never selected since ssei < n1v
+        nwords = (n1r + 7) // 8
+        qtw = []
+        for w in range(nwords):
+            acc = None
+            for i in range(w * 8, min(n1r, w * 8 + 8)):
+                term = (qtypes_ref[q, i] & 15) << ((i - w * 8) * 4)
+                acc = term if acc is None else acc | term
+            qtw.append(acc)
+
+        def qtype_at(ssei):
+            """qtypes[q, ssei] per lane, [G, C] (ssei < n1v <= n1r)."""
+            if nwords == 1:
+                wv = qtw[0]
+                sh = jnp.left_shift(ssei, 2)
+            else:
+                shi = jnp.right_shift(ssei, 3)
+                wv = jnp.where(shi == 0, qtw[0], qtw[1])
+                for w in range(2, nwords):
+                    wv = jnp.where(shi == w, qtw[w], wv)
+                sh = jnp.left_shift(ssei & 7, 2)
+            # arithmetic shift is fine: the target nibble lands in bits
+            # 0-3 either way and & 15 drops any sign fill
+            return jnp.right_shift(wv, sh) & 15
+
         if cum == "mxu":
-            # lower-triangular ones (block-diagonal for 'bd'), built once
+            # lower-triangular ones, block-diagonal per entry within
+            # ONE [BD, BD] fetch block (identical for every block)
             @pl.when(jnp.logical_and(eg == 0,
                                      jnp.logical_and(q == 0, r == 0)))
             def _():
-                shape = tril.shape  # bd: [DQ, DQ]; gdot: [DQ, d2]
-                ri = lax.broadcasted_iota(I32, shape, 0)
-                ci = lax.broadcasted_iota(I32, shape, 1)
-                cond = (ri % d2) >= (ci % d2)
-                if shape[1] == shape[0]:  # block-diagonal form
-                    cond = cond & ((ri // d2) == (ci // d2))
+                ri = lax.broadcasted_iota(I32, (BD, BD), 0)
+                ci = lax.broadcasted_iota(I32, (BD, BD), 1)
+                cond = ((ri % d2) >= (ci % d2)) & ((ri // d2)
+                                                   == (ci // d2))
                 tril[...] = jnp.where(cond, 1.0, 0.0).astype(BF16)
 
-        if fetch == "bd":
-            # ---- block-diagonal tables, built once per entry group
-            # (grid order (eg, q, r): the q == 0 build survives the
-            # whole q sweep for this eg)
-            @pl.when(jnp.logical_and(q == 0, r == 0))
-            def _():
-                bd_tab[...] = jnp.zeros((DQ, DQ), BF16)
-                bd_dmat[...] = jnp.zeros((DQ, DQ), BF16)
-                for g in range(G):
-                    sl = pl.ds(g * d2, d2)
-                    bd_tab[sl, sl] = tab2p_ref[pl.ds(g * d2, d2),
-                                               :].astype(BF16)
-                    bd_dmat[sl, sl] = dmat2_ref[pl.ds(g * d2, d2),
-                                                :].astype(BF16)
+        # ---- block-diagonal tables, built once per entry group
+        # (grid order (eg, q, r): the q == 0 build survives the whole
+        # q sweep for this eg).  B entries per block; within block b,
+        # tab rows stacked ABOVE dmat rows so one [2BD, BD] x [BD, W]
+        # dot fetches tableau and distance columns together.
+        @pl.when(jnp.logical_and(q == 0, r == 0))
+        def _():
+            if B > 1:
+                bd_all[...] = jnp.zeros((2 * DQ, BD), BF16)
+            for g in range(G):
+                b, e = divmod(g, B)
+                rows = pl.ds(2 * b * BD + e * d2, d2)
+                rows_d = pl.ds(2 * b * BD + BD + e * d2, d2)
+                cols = pl.ds(e * d2, d2)
+                src = pl.ds(g * d2, d2)
+                bd_all[rows, cols] = tab2p_ref[src, :].astype(BF16)
+                bd_all[rows_d, cols] = dmat2_ref[src, :].astype(BF16)
 
         @pl.when(r == 0)
         def _():
@@ -400,93 +446,73 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 bestmap[...] = jnp.full((NQ, C), -1, I32)
 
         if rng_mode == "pltpu":
-            if "rng" in knock:  # profiling stand-in
-                uni[...] = jnp.full((PGpad, C), 0.4321, F32)
-            else:
-                s1 = (rng_ref[0] * I32(-1640531527)
-                      + tags_ref[q] * I32(97))
-                s2 = (rng_ref[2 + eg * G] * I32(2057)
-                      + r * I32(-1105766181))
-                pltpu.prng_seed(s1, s2)
-                bits = pltpu.prng_random_bits((PGpad, C))
+            # seed once per grid step; slots are then DRAWN ON DEMAND
+            # in consumption order (thinit: one [G, C] block per query
+            # SSE, annealing: one [3G, C] block per iteration) — the
+            # hardware PRNG fills row-major, so sequential 8-multiple-
+            # row draws produce the identical stream to one big buffer
+            # without the [P*G, C] VMEM footprint
+            s1 = (rng_ref[0] * I32(-1640531527)
+                  + tags_ref[q] * I32(97))
+            s2 = (rng_ref[2 + eg * G] * I32(2057)
+                  + r * I32(-1105766181))
+            pltpu.prng_seed(s1, s2)
+
+        def read_u(slot, nrows):
+            """next nrows*G uniform rows (slot = consumption cursor,
+            used only by the supplied-stream path)."""
+            if rng_mode == "pltpu":
+                if "rng" in knock:  # profiling stand-in
+                    return jnp.full((nrows * G, C), 0.4321, F32)
+                bits = pltpu.prng_random_bits((nrows * G, C))
                 bits24 = pltpu.bitcast(
                     jax.lax.shift_right_logical(
                         pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)),
                     jnp.int32)
-                uni[...] = bits24.astype(F32) * F32(2.0 ** -24)
-
-        def read_u(slot, nrows):
-            """rows [slot*G, slot*G + nrows*G) -> [nrows*G, C]."""
-            if rng_mode == "pltpu":
-                return uni[pl.ds(slot * G, nrows * G), :]
+                return bits24.astype(F32) * F32(2.0 ** -24)
             return rng_ref[0, 0, pl.ds(slot * G, nrows * G), :]
 
         types2 = types2_ref[...]  # [DQ, 1]
         g_qt = qb2t_ref[...]  # [NQH, NQ] bf16 (codes: exact)
         g_qd = qb2d_ref[...]  # [NQH, NQ] bf16 (distances: exact — they
         # are bf16-quantized at pack time, io/pack.py quantize_dmat)
-        if fetch == "bd":
-            g_tab = bd_tab[...]  # [DQ, DQ] bf16
-            g_dmat = bd_dmat[...]  # [DQ, DQ] bf16
+        g_all = bd_all[...]  # [2DQ, BD] bf16
 
-            def fetch_tab(oh):  # oh bf16; codes <= 4095 exact in f32 acc
-                if "fetch" in knock:  # profiling stand-in
-                    return oh.astype(F32)
-                return jnp.dot(g_tab, oh, preferred_element_type=F32)
-
-            def fetch_dmat(oh):
-                if "fetch" in knock:
-                    return oh.astype(F32) * 2.0
-                return jnp.dot(g_dmat, oh, preferred_element_type=F32)
-        else:
-            # per-entry [d2, d2] x [d2, C] dots: G x fewer MXU FLOPs
-            # than the block-diagonal form (tables are symmetric, so
-            # row-major reads fetch columns)
-            t2v = tab2p_ref[...].astype(BF16)  # [DQ, d2] per-entry stacked
-            d2v = dmat2_ref[...].astype(BF16)
-
-            def _gdot(mat, oh):
-                outs = [jnp.dot(mat[g * d2:(g + 1) * d2, :],
-                                oh[g * d2:(g + 1) * d2, :],
-                                preferred_element_type=F32)
-                        for g in range(G)]
-                return jnp.concatenate(outs, axis=0)
-
-            def fetch_tab(oh):
-                if "fetch" in knock:  # profiling stand-in
-                    return oh.astype(F32)
-                return _gdot(t2v, oh)
-
-            def fetch_dmat(oh):
-                if "fetch" in knock:
-                    return oh.astype(F32) * 2.0
-                return _gdot(d2v, oh)
-
-        def fetch_dmat_pair(oh_a, oh_b):
-            """Both distance columns in ONE (wider) dot, halving the
-            fetch issue count."""
-            both = fetch_dmat(jnp.concatenate([oh_a, oh_b], axis=1))
-            return both[:, :C], both[:, C:]
+        def fetch_cols(oh):
+            """(tab cols [DQ, W], dmat cols [DQ, W]) for a [DQ, W]
+            one-hot block — one [2BD, BD] x [BD, W] dot per fetch
+            block (codes <= 27 and bf16-grid distances: exact in the
+            f32 accumulator)."""
+            if "fetch" in knock:  # profiling stand-in
+                f = oh.astype(F32)
+                return f, f * 2.0
+            outs = [jnp.dot(g_all[2 * b * BD:2 * (b + 1) * BD],
+                            oh[b * BD:(b + 1) * BD],
+                            preferred_element_type=F32)
+                    for b in range(NB)]
+            if NB == 1:
+                return outs[0][:BD], outs[0][BD:]
+            tabs = jnp.concatenate([o[:BD] for o in outs], axis=0)
+            dmats = jnp.concatenate([o[BD:] for o in outs], axis=0)
+            return tabs, dmats
 
         def cum_seg(candf):
             """Inclusive per-segment cumulative count of the 0/1
             candidate mask (the rank each candidate would have)."""
             if cum == "mxu":
                 cf = candf.astype(BF16)
-                if fetch == "bd":
-                    return jnp.dot(tril[...], cf,
-                                   preferred_element_type=F32)
                 t = tril[...]
-                outs = [jnp.dot(t[g * d2:(g + 1) * d2, :],
-                                cf[g * d2:(g + 1) * d2, :],
+                outs = [jnp.dot(t, cf[b * BD:(b + 1) * BD],
                                 preferred_element_type=F32)
-                        for g in range(G)]
-                return jnp.concatenate(outs, axis=0)
-            return prefix_sum_seg(candf)
+                        for b in range(NB)]
+                return (outs[0] if NB == 1
+                        else jnp.concatenate(outs, axis=0))
+            return prefix_sum_seg(candf, li)
 
         # ---- thinit (kernel.cu:588-648)
         ssemap[...] = jnp.full((NQ, C), -1, I32)
         revmap[...] = jnp.full((DQ, C), -1, I32)
+        n2d = rep_d(n2col)
 
         def thinit_body(i, carry):
             j, stopped = carry  # [G, C] each; stopped int32
@@ -494,17 +520,15 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             t1 = qtypes_ref[q, i]
             attempt = ((u_i < p.init_matchprob) & (stopped == 0)
                        & (i < n1v))  # padded SSEs never attempt
-            cmask = ((l_idx() >= rep_d(j)) & (types2 == t1)
-                     & (l_idx() < rep_d(n2col)))
-            jfound = seg_min_d(jnp.where(cmask, l_idx(), BIG))  # [G, C]
+            cmask = (li >= rep_d(j)) & (types2 == t1) & (li < n2d)
+            jfound = seg_min_d(jnp.where(cmask, li, BIG))  # [G, C]
             ok = attempt & (jfound < n2col)
             stopped = jnp.where(attempt & (jfound >= n2col), 1, stopped)
-            okq = rep_q(jnp.where(ok, 1, 0)) == 1
-            ssemap[...] = jnp.where((k_idx() == i) & okq, rep_q(jfound),
-                                    ssemap[...])
-            okd = rep_d(jnp.where(ok, 1, 0)) == 1
+            okv = jnp.where(ok, 1, 0)
+            ssemap[...] = jnp.where((ki == i) & (rep_q(okv) == 1),
+                                    rep_q(jfound), ssemap[...])
             revmap[...] = jnp.where(
-                (l_idx() == rep_d(jfound)) & okd, i, revmap[...])
+                (li == rep_d(jfound)) & (rep_d(okv) == 1), i, revmap[...])
             return jnp.where(ok, jfound + 1, j), stopped
 
         if "thinit" not in knock:
@@ -516,24 +540,22 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         # over mapped db SSEs l (k = revmap[l]); every pair is counted
         # twice (at i and at k), and the tableau scores are small
         # integers, so halving the f32 sum is exact.
-        gather_by_revmap = make_gather_by_revmap(qct_s, qcd_s)
+        gather_by_revmap = make_gather_by_revmap(qc_s)
 
         def initscore_body(i, acc):
             rmap_v = revmap[...]
-            l_i = extract_q(ssemap[...], i)  # [G, C]
-            oh_i = l_idx() == rep_d(l_i)
-            pt = fetch_tab(oh_i.astype(BF16))
-            rd = fetch_dmat(oh_i.astype(BF16))
-            ohc = k_idx() == i  # [NQ, C]
-            qct = jnp.dot(g_qt, ohc.astype(BF16),
-                          preferred_element_type=F32)
-            qcd = jnp.dot(g_qd, ohc.astype(BF16),
-                          preferred_element_type=F32)
-            qs_t, qs_d = gather_by_revmap(qct, qcd, rmap_v)
-            qhi = jnp.floor(qs_t / 8.0)
-            qlo = qs_t - qhi * 8.0
-            use = ((rmap_v >= 0) & (rmap_v != i)
-                   & (rep_d(l_i) >= 0)
+            l_i = seg_sum_q(jnp.where(ki == i, ssemap[...], 0))  # [G, C]
+            lid = rep_d(l_i)
+            oh_i = li == lid
+            pt, rd = fetch_cols(oh_i.astype(BF16))
+            ohc = (ki == i).astype(BF16)  # [NQ, C]
+            qct = jnp.dot(g_qt, ohc, preferred_element_type=F32)
+            qcd = jnp.dot(g_qd, ohc, preferred_element_type=F32)
+            qs = gather_by_revmap(pack_qc(qct, qcd), rmap_v)
+            codeq, qs_d = unpack_qc(qs)
+            qhi = jnp.floor(codeq * 0.125)
+            qlo = codeq - qhi * 8.0
+            use = ((rmap_v >= 0) & (rmap_v != i) & (lid >= 0)
                    & (jnp.abs(qs_d - rd) <= p.mxssed))
             tsc = unpack_tsc(pt, qhi, qlo)
             return acc + seg_sum_d(jnp.where(use, tsc, 0.0))
@@ -566,10 +588,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             ssei = ((u_move - p.eps)
                     * n1v.astype(F32)).astype(I32)  # [G, C]
             sseiq = rep_q(ssei)
-            m1 = k_idx() == sseiq  # [NQ, C]
-            m1f = m1.astype(F32)
+            m1 = ki == sseiq  # [NQ, C]
 
-            qt = seg_sum_q(jnp.where(m1, qtypesv_ref[...], 0))  # [G, C]
+            qt = qtype_at(ssei)  # [G, C]
 
             if lorder and "lorder" not in knock:
                 # Under LORDER every reachable mapping is order-
@@ -580,13 +601,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 # direct segment reductions over the VALUES:
                 #   startj = max smap[k] over mapped k <= ssei
                 #   endj   = min smap[k] over mapped k > ssei
-                # (one reduction each, vs. reduce-arg + extract in the
-                # literal translation of kernel.cu:1053-1083).
-                sv = seg_max_q(jnp.where((k_idx() <= sseiq)
-                                         & (smap_v >= 0), smap_v, -1))
+                # (unmapped slots hold -1, the max-reduce sentinel, so
+                # the sv mask needs no mapped test).
+                m_le = ki <= sseiq
+                sv = seg_max_q(jnp.where(m_le, smap_v, -1))
                 startj = jnp.where(sv >= 0, sv, n2col)
-                ev = seg_min_q(jnp.where((k_idx() > sseiq)
-                                         & (smap_v >= 0), smap_v, BIG))
+                sw = jnp.where(smap_v < 0, BIG, smap_v)
+                ev = seg_min_q(jnp.where(m_le, BIG, sw))
                 endj = jnp.where(ssei == n1v - 1, n2col,
                                  jnp.where(ev < BIG, ev, -1))
             else:
@@ -594,45 +615,47 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 endj = n2col
 
             if "select" in knock:  # profiling stand-in
-                newj = (rep_d(startj) * 0 + l_idx())[0:G, :] % d2
+                newj = (rep_d(startj) * 0 + li)[0:G, :] % d2
             else:
-                cand = ((l_idx() >= rep_d(startj))
-                        & (l_idx() < rep_d(endj))
+                cand = ((li >= rep_d(startj)) & (li < rep_d(endj))
                         & (types2 == rep_d(qt)) & (rmap_v < 0))
                 candf = cand.astype(F32)
                 count = seg_sum_d(candf)  # [G, C]
                 rpick = ((u_cand - p.eps) * count).astype(I32)
                 cum = cum_seg(candf).astype(I32)
                 hit = cand & (cum == rep_d(rpick) + 1)
-                newj = seg_max_d(jnp.where(hit, l_idx(), -1))  # [G, C]
+                newj = seg_max_d(jnp.where(hit, li, -1))  # [G, C]
 
             oldj = seg_sum_q(jnp.where(m1, smap_v, 0))  # [G, C]
 
-            # db-side rows for old and new: the tableau pair packed
-            # into ONE bf16 dot (64*old + new <= 4095, exact), the two
-            # f32 distance columns fused into one wide dot
-            oh_o = l_idx() == rep_d(oldj)
-            oh_n = l_idx() == rep_d(newj)
-            pt = fetch_tab(oh_o.astype(BF16) * BF16(64)
-                           + oh_n.astype(BF16))
-            rt_o = jnp.floor(pt / 64.0)
-            rt_n = pt - rt_o * 64.0
-            rd_o, rd_n = fetch_dmat_pair(oh_o.astype(BF16),
-                                         oh_n.astype(BF16))
+            # db-side rows for old and new: tableau AND distance
+            # columns for BOTH in ONE stacked dot
+            oldd = rep_d(oldj)
+            newd = rep_d(newj)
+            oh_o = li == oldd
+            oh_n = li == newd
+            ohb = jnp.concatenate([oh_o, oh_n], axis=1).astype(BF16)
+            tabs, dmats = fetch_cols(ohb)  # [DQ, 2C] each
+            rt_o = tabs[:, :C]
+            rt_n = tabs[:, C:]
+            rd_o = dmats[:, :C]
+            rd_n = dmats[:, C:]
 
-            # query-side values at (k, ssei), scattered to db rows
-            qct = jnp.dot(g_qt, m1f.astype(BF16),
-                          preferred_element_type=F32)
-            qcd = jnp.dot(g_qd, m1f.astype(BF16),
-                          preferred_element_type=F32)
-            qs_t, qs_d = gather_by_revmap(qct, qcd, rmap_v)
-            qhi = jnp.floor(qs_t / 8.0)
-            qlo = qs_t - qhi * 8.0
+            # query-side values at (k, ssei), scattered to db rows;
+            # code and distance packed into one gather accumulator
+            m1f = m1.astype(BF16)
+            qct = jnp.dot(g_qt, m1f, preferred_element_type=F32)
+            qcd = jnp.dot(g_qd, m1f, preferred_element_type=F32)
+            qs = gather_by_revmap(pack_qc(qct, qcd), rmap_v)
+            codeq, qs_d = unpack_qc(qs)
+            qhi = jnp.floor(codeq * 0.125)
+            qlo = codeq - qhi * 8.0
 
-            mb = (rmap_v >= 0) & (rmap_v != rep_d(ssei))
-            t_o = (mb & (rep_d(oldj) >= 0)
+            sseid = rep_d(ssei)
+            mb = (rmap_v >= 0) & (rmap_v != sseid)
+            t_o = (mb & (oldd >= 0)
                    & (jnp.abs(qs_d - rd_o) <= p.mxssed))
-            t_n = (mb & (rep_d(newj) >= 0)
+            t_n = (mb & (newd >= 0)
                    & (jnp.abs(qs_d - rd_n) <= p.mxssed))
             tsc_o = unpack_tsc(rt_o, qhi, qlo)
             tsc_n = unpack_tsc(rt_n, qhi, qlo)
@@ -657,16 +680,17 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             if "update" in knock:  # profiling stand-in
                 score[...] = jnp.where(accept, newscore, score[...])
                 return temp * p.alpha
-            accq = rep_q(jnp.where(accept, 1, 0)) == 1
-            accd = rep_d(jnp.where(accept, 1, 0)) == 1
+            acci = jnp.where(accept, 1, 0)
+            accq = rep_q(acci) == 1
+            accd = rep_d(acci) == 1
             score[...] = jnp.where(accept, newscore, score[...])
             ssemap[...] = jnp.where(m1 & accq, rep_q(newj), smap_v)
-            oldd = rep_d(oldj)
-            newd = rep_d(newj)
-            rmap_new = jnp.where((l_idx() == oldd) & accd & (oldd >= 0),
-                                 -1, rmap_v)
-            revmap[...] = jnp.where((l_idx() == newd) & accd
-                                    & (newd >= 0), rep_d(ssei), rmap_new)
+            # li == oldd/newd is false wherever oldj/newj is -1 (li is
+            # never negative), so no separate >= 0 guards are needed;
+            # oldj and newj are never the same mapped SSE (newj is
+            # unmatched by construction)
+            rmap_new = jnp.where((li == oldd) & accd, -1, rmap_v)
+            revmap[...] = jnp.where((li == newd) & accd, sseid, rmap_new)
             return temp * p.alpha
 
         lax.fori_loop(0, maxiter, iter_body, jnp.full((), p.temp0, F32))
@@ -738,20 +762,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     ]
     if lsoln:
         scratch.append(pltpu.VMEM((NQ, C), jnp.int32))  # bestmap
-    scratch.append(pltpu.VMEM((PGpad, C), jnp.float32))  # uni
     if not kloop_unroll:
-        scratch += [
-            pltpu.VMEM((NQH, C), jnp.float32),  # qct_s (revmap gather)
-            pltpu.VMEM((NQH, C), jnp.float32),  # qcd_s
-        ]
-    if fetch == "bd":
-        scratch += [
-            pltpu.VMEM((DQ, DQ), BF16),  # bd_tab
-            pltpu.VMEM((DQ, DQ), BF16),  # bd_dmat
-        ]
+        scratch.append(pltpu.VMEM((NQH, C), jnp.float32))  # qc_s (gather)
+    scratch.append(pltpu.VMEM((2 * DQ, BD), BF16))  # bd_all
     if cum == "mxu":
-        scratch.append(pltpu.VMEM(
-            (DQ, DQ if fetch == "bd" else d2), BF16))  # tril ones
+        scratch.append(pltpu.VMEM((BD, BD), BF16))  # tril ones
     call = pl.pallas_call(
         kernel,
         grid=grid,

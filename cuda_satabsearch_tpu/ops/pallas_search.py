@@ -231,13 +231,17 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
                               dmat2, rng_in, n1s), G))
         # concatenate on device: the drain must be ONE transfer per
         # output, not one per chunk (each D2H costs a full round trip
-        # through remote-TPU tunnels)
+        # through remote-TPU tunnels).  Narrow dtypes halve/quarter the
+        # transfer (~15 MB/s through the tunnel): |score| <= 2*C(111,2)
+        # = 12210 fits int16, map values in [-1, 110] fit int8.
         scores_flat = jnp.concatenate(
-            [S[:, :, 0].reshape(-1) for (S, _M), _G in outs])
+            [S[:, :, 0].reshape(-1) for (S, _M), _G in outs]).astype(
+                jnp.int16)
         if not lsoln:
             return scores_flat, None
         maps_flat = jnp.concatenate(
-            [M[:, :, 0].reshape(-1, n1r) for (_S, M), _G in outs])
+            [M[:, :, 0].reshape(-1, n1r) for (_S, M), _G in outs]).astype(
+                jnp.int8)
         return scores_flat, maps_flat
 
     return jax.jit(f)
@@ -345,15 +349,16 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
             out_s.append(S[..., 0].reshape(K, -1))  # [K, E]
             if lsoln:
                 out_m.append(M[..., 0].reshape(K, -1, n1r))
-        scores = jnp.concatenate(out_s, axis=1)  # [K, total]
+        # int16/int8 drains: see _make_db_fn2
+        scores = jnp.concatenate(out_s, axis=1).astype(jnp.int16)
         if not lsoln:
             return scores, None
-        return scores, jnp.concatenate(out_m, axis=1)
+        return scores, jnp.concatenate(out_m, axis=1).astype(jnp.int8)
 
     return jax.jit(f)
 
 
-K_TILE = 32  # max scan length per device program
+K_TILE = 64  # max queries per device program
 
 
 def _tile_plan(K: int) -> list[int]:
