@@ -63,8 +63,8 @@ BF16 = jnp.bfloat16  # MXU-native; exact for one-hots and codes <= 256
 # best (group, fetch, cum) per bucket width.  Group is a preference;
 # the factory falls back to the largest power-of-two divisor of E at
 # or below it.
-TUNED_CONFIG = {8: (16, "bd", "mxu"), 16: (16, "bd", "roll"),
-                24: (16, "gdot", "mxu"), 32: (16, "gdot", "mxu"),
+TUNED_CONFIG = {8: (16, "bd", "roll"), 16: (16, "bd", "mxu"),
+                24: (16, "gdot", "mxu"), 32: (16, "gdot", "roll"),
                 40: (16, "gdot", "mxu"), 48: (8, "gdot", "mxu"),
                 56: (8, "gdot", "mxu"), 64: (4, "gdot", "mxu"),
                 72: (4, "gdot", "mxu"), 80: (2, "gdot", "mxu"),
@@ -287,12 +287,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     def seg_max_q(x):
         return jnp.max(x.reshape(G, n1r, C), axis=1)
 
-    def prefix_sum_seg(x, li):
+    def prefix_sum_seg(x, roll_masks):
         """Inclusive prefix sum within each d2 segment (masked rolls:
-        p - s stays in-segment iff l_idx(p) >= s)."""
+        p - s stays in-segment iff l_idx(p) >= s; the loop-invariant
+        step masks are hoisted to the kernel top)."""
         s = 1
         while s < d2:
-            x = x + jnp.where(li >= s, pltpu.roll(x, s, 0), 0.0)
+            x = x + jnp.where(roll_masks[s], pltpu.roll(x, s, 0), 0.0)
             s *= 2
         return x
 
@@ -369,6 +370,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         # loop-invariant index planes, computed once per grid step
         li = l_idx()
         ki = k_idx()
+        roll_masks = None
+        if cum != "mxu":
+            roll_masks = {}
+            s = 1
+            while s < d2:
+                roll_masks[s] = li >= s
+                s *= 2
 
         eg = pl.program_id(0)
         q = pl.program_id(1)
@@ -473,9 +481,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             return rng_ref[0, 0, pl.ds(slot * G, nrows * G), :]
 
         types2 = types2_ref[...]  # [DQ, 1]
-        g_qt = qb2t_ref[...]  # [NQH, NQ] bf16 (codes: exact)
-        g_qd = qb2d_ref[...]  # [NQH, NQ] bf16 (distances: exact — they
-        # are bf16-quantized at pack time, io/pack.py quantize_dmat)
+        # query scatter matrices stacked once per grid step (codes are
+        # <= 27 and distances bf16-quantized at pack time, so both
+        # halves are bf16-exact): ONE [2NQH, NQ] x [NQ, C] dot per
+        # iteration fetches code and distance columns together
+        g_q = jnp.concatenate([qb2t_ref[...], qb2d_ref[...]], axis=0)
         g_all = bd_all[...]  # [2DQ, BD] bf16
 
         def fetch_cols(oh):
@@ -507,7 +517,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                         for b in range(NB)]
                 return (outs[0] if NB == 1
                         else jnp.concatenate(outs, axis=0))
-            return prefix_sum_seg(candf, li)
+            return prefix_sum_seg(candf, roll_masks)
 
         # ---- thinit (kernel.cu:588-648)
         ssemap[...] = jnp.full((NQ, C), -1, I32)
@@ -549,9 +559,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             oh_i = li == lid
             pt, rd = fetch_cols(oh_i.astype(BF16))
             ohc = (ki == i).astype(BF16)  # [NQ, C]
-            qct = jnp.dot(g_qt, ohc, preferred_element_type=F32)
-            qcd = jnp.dot(g_qd, ohc, preferred_element_type=F32)
-            qs = gather_by_revmap(pack_qc(qct, qcd), rmap_v)
+            qc2 = jnp.dot(g_q, ohc, preferred_element_type=F32)
+            qs = gather_by_revmap(pack_qc(qc2[:NQH], qc2[NQH:]), rmap_v)
             codeq, qs_d = unpack_qc(qs)
             qhi = jnp.floor(codeq * 0.125)
             qlo = codeq - qhi * 8.0
@@ -644,9 +653,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             # query-side values at (k, ssei), scattered to db rows;
             # code and distance packed into one gather accumulator
             m1f = m1.astype(BF16)
-            qct = jnp.dot(g_qt, m1f, preferred_element_type=F32)
-            qcd = jnp.dot(g_qd, m1f, preferred_element_type=F32)
-            qs = gather_by_revmap(pack_qc(qct, qcd), rmap_v)
+            qc2 = jnp.dot(g_q, m1f, preferred_element_type=F32)
+            qs = gather_by_revmap(pack_qc(qc2[:NQH], qc2[NQH:]), rmap_v)
             codeq, qs_d = unpack_qc(qs)
             qhi = jnp.floor(codeq * 0.125)
             qlo = codeq - qhi * 8.0

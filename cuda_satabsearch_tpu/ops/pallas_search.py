@@ -349,8 +349,10 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
             out_s.append(S[..., 0].reshape(K, -1))  # [K, E]
             if lsoln:
                 out_m.append(M[..., 0].reshape(K, -1, n1r))
-        # int16/int8 drains: see _make_db_fn2
-        scores = jnp.concatenate(out_s, axis=1).astype(jnp.int16)
+        # narrow drains: see _make_db_fn2; |score| <= n1*(n1-1) fits
+        # int8 for n1r <= 11 (the dominant small-query case)
+        sdt = jnp.int8 if n1r * (n1r - 1) <= 127 else jnp.int16
+        scores = jnp.concatenate(out_s, axis=1).astype(sdt)
         if not lsoln:
             return scores, None
         return scores, jnp.concatenate(out_m, axis=1).astype(jnp.int8)
@@ -475,29 +477,31 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
 
 
 def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Drain a multi-query handle: ONE D2H per output array, then
-    host-side slicing into per-query (scores, maps) in file order."""
+    """Drain a multi-query handle: ONE D2H per output array, then ONE
+    vectorized scatter per chunk across the whole query axis (a
+    per-query scatter loop costs ~65 ms at 256 queries — 4% of the
+    batch — in small numpy ops)."""
     from ..parallel.distributed import to_host
 
     db, n1s, n1r, chunk_meta, (scores_k, maps_k), K = handle
     sf_k = to_host(scores_k)
     mf_k = None if maps_k is None else to_host(maps_k)
-    results = []
-    for qi in range(K):
-        n1 = n1s[qi]
-        scores = np.zeros((db.nentries,), np.int32)
-        maps = np.full((db.nentries, n1), -1, np.int32)
-        off = 0
-        for (bucket, start, end), size in chunk_meta:
-            k = end - start
-            sub_idx = bucket.index[start:end]
-            valid = sub_idx >= 0
-            scores[sub_idx[valid]] = sf_k[qi, off:off + k][valid]
-            if mf_k is not None:
-                maps[sub_idx[valid]] = mf_k[qi, off:off + k, :n1][valid]
-            off += size
-        results.append((scores, maps))
-    return results
+    scores_all = np.zeros((K, db.nentries), np.int32)
+    maps_all = None
+    if mf_k is not None:
+        maps_all = np.full((K, db.nentries, n1r), -1, np.int32)
+    off = 0
+    for (bucket, start, end), size in chunk_meta:
+        k = end - start
+        sub_idx = bucket.index[start:end]
+        valid = sub_idx >= 0
+        scores_all[:, sub_idx[valid]] = sf_k[:, off:off + k][:, valid]
+        if mf_k is not None:
+            maps_all[:, sub_idx[valid]] = mf_k[:, off:off + k][:, valid]
+        off += size
+    return [(scores_all[qi],
+             None if maps_all is None else maps_all[qi, :, :n1s[qi]])
+            for qi in range(K)]
 
 
 def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
