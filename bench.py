@@ -89,7 +89,7 @@ def run_search(session, query, restarts, label, baseline):
     nq = 256
     session.search_many([query] * nq)  # warm the scan-fn compile
     best_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         session.search_many([query] * nq)
         best_s = min(best_s, time.perf_counter() - t0)
