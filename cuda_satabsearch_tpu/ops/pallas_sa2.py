@@ -66,10 +66,10 @@ BF16 = jnp.bfloat16  # MXU-native; exact for one-hots and codes <= 256
 TUNED_CONFIG = {8: (16, "bd", "roll"), 16: (16, "bd", "mxu"),
                 24: (16, "gdot", "mxu"), 32: (16, "gdot", "roll"),
                 40: (16, "gdot", "mxu"), 48: (8, "gdot", "mxu"),
-                56: (8, "gdot", "mxu"), 64: (4, "gdot", "mxu"),
-                72: (4, "gdot", "mxu"), 80: (2, "gdot", "mxu"),
-                88: (2, "gdot", "mxu"), 96: (2, "gdot", "mxu"),
-                104: (2, "gdot", "mxu"), 112: (2, "gdot", "mxu")}
+                56: (8, "gdot", "mxu"), 64: (8, "gdot", "mxu"),
+                72: (8, "gdot", "mxu"), 80: (4, "gdot", "mxu"),
+                88: (4, "gdot", "mxu"), 96: (4, "gdot", "mxu"),
+                104: (4, "gdot", "mxu"), 112: (4, "gdot", "mxu")}
 
 
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:

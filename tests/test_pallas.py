@@ -304,3 +304,45 @@ def test_db_multi_batched_mixed_orders():
         np.testing.assert_array_equal(multi[qi][0], s1)
         np.testing.assert_array_equal(multi[qi][1], m1)
         assert multi[qi][1].shape[1] == q.order
+
+
+def test_kernel_blocked_fetch_bitwise():
+    """The unified blocked fetch ('bd<k>': k entries per MXU block)
+    is bitwise identical to the bd (k=G) and gdot (k=1) endpoints
+    (supplied streams, interpret)."""
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        make_pallas2_bucket_search, make_qb2)
+
+    rng = np.random.default_rng(31)
+    d2, c_par, r_seq, E = 16, 16, 2, 8
+    entries = [random_entry(rng, rng.integers(6, d2 + 1), f"e{i}")
+               for i in range(E)]
+    query = pack_query(random_entry(rng, 7, "q"))
+    n1 = query.order
+    n1r = round8(n1)
+    types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+    qtypes, _qtv, qtabp, qdmat = prepare_query(query, n1r)
+    tab2p = np.stack([pack_tab(tabhi[i], tablo[i]) for i in range(E)])
+    P = golden.uniforms_per_restart(n1)
+    keys = entry_keys(9, 3, np.arange(E))
+    uni = np.asarray(make_uniforms(keys, r_seq, P, c_par))
+
+    outs = []
+    for fetch in ("bd", "bd4", "bd2", "gdot"):
+        fn, G = make_pallas2_bucket_search(
+            E, n1, d2, c_par, r_seq, True, interpret=True,
+            rng_mode="supplied", lsoln=True, fetch=fetch, group=8)
+        qb2t, qb2d = make_qb2(qtabp, qdmat, G)
+        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
+        u = (uni.reshape(E // G, G, r_seq, P, 128)
+             .transpose(0, 2, 3, 1, 4).reshape(E // G, r_seq, P * G, 128))
+        s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv, qb2t,
+                  qb2d,
+                  jnp.asarray(types.astype(np.int32).reshape(E * d2, 1)),
+                  jnp.asarray(tab2p.reshape(E * d2, d2)),
+                  jnp.asarray(dmat.reshape(E * d2, d2)),
+                  jnp.asarray(u))
+        outs.append((fetch, np.asarray(s), np.asarray(m)))
+    for fetch, s, m in outs[1:]:
+        np.testing.assert_array_equal(outs[0][1], s, err_msg=fetch)
+        np.testing.assert_array_equal(outs[0][2], m, err_msg=fetch)
