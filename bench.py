@@ -86,7 +86,7 @@ def run_search(session, query, restarts, label, baseline):
     # trips amortized — the closest equivalent of the reference's
     # kernel-execution-only timing (its 1264.7 M it/s excludes all
     # host work and D2H, README_example_usage.txt:84-85)
-    nq = 256
+    nq = 384
     session.search_many([query] * nq)  # warm the scan-fn compile
     best_s = float("inf")
     for _ in range(3):
