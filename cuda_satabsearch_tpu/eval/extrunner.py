@@ -64,9 +64,14 @@ def _run_one(command: str, subs: dict, out_path: str, err_path: str,
     stdin_fh = open(stdin_path, "rb") if stdin_path else subprocess.DEVNULL
     try:
         with open(out_path, "wb") as out_fh, open(err_path, "wb") as err_fh:
-            proc = subprocess.run(cmd, shell=True, stdin=stdin_fh,
-                                  stdout=out_fh, stderr=err_fh,
-                                  timeout=timeout)
+            try:
+                proc = subprocess.run(cmd, shell=True, stdin=stdin_fh,
+                                      stdout=out_fh, stderr=err_fh,
+                                      timeout=timeout)
+            except subprocess.TimeoutExpired:
+                # a hung tool fails THIS run, not the whole sweep; 124
+                # matches coreutils timeout(1)
+                return 124
     finally:
         if stdin_path:
             stdin_fh.close()

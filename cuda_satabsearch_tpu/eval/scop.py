@@ -149,11 +149,19 @@ def _db_names(dbfile: str) -> list[str]:
     with open(dbfile) as fh:
         for line in fh:
             parts = line.split()
-            if len(parts) == 2 and not parts[0][0].isdigit():
-                try:
-                    int(parts[1])
-                except ValueError:
-                    continue
+            if len(parts) != 2:
+                continue
+            # a header is "name order": second token an int, first NOT
+            # numeric (distance rows are float pairs; identifying by
+            # "first char is a digit" would drop raw-PDB names like
+            # '1ubq')
+            try:
+                int(parts[1])
+            except ValueError:
+                continue
+            try:
+                float(parts[0])
+            except ValueError:
                 names.append(parts[0])
     return names
 

@@ -456,10 +456,13 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         if rng_mode == "pltpu":
             # seed once per grid step; slots are then DRAWN ON DEMAND
             # in consumption order (thinit: one [G, C] block per query
-            # SSE, annealing: one [3G, C] block per iteration) — the
-            # hardware PRNG fills row-major, so sequential 8-multiple-
-            # row draws produce the identical stream to one big buffer
-            # without the [P*G, C] VMEM footprint
+            # SSE, annealing: one [3G, C] block per iteration).  When
+            # every draw's row count is a multiple of 8 (G % 8 == 0,
+            # the sublane quantum) the chunked draws equal one big
+            # [P*G, C] buffer fill; for smaller G the stream is a
+            # VALID but DIFFERENT pltpu stream (still deterministic in
+            # (seed, tag, entry, restart) — cross-backend bitwise
+            # parity always uses supplied mode)
             s1 = (rng_ref[0] * I32(-1640531527)
                   + tags_ref[q] * I32(97))
             s2 = (rng_ref[2 + eg * G] * I32(2057)

@@ -233,7 +233,12 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
         # output, not one per chunk (each D2H costs a full round trip
         # through remote-TPU tunnels).  Narrow dtypes halve/quarter the
         # transfer (~15 MB/s through the tunnel): |score| <= 2*C(111,2)
-        # = 12210 fits int16, map values in [-1, 110] fit int8.
+        # = 12210 fits int16; map values in [-1, d2-1] fit int8 only
+        # while every bucket dim <= 128 (true at the default MAXDIM=111
+        # but SessionConfig.maxdim is configurable — derive, don't
+        # assume, or a raised cap would silently wrap the D2H cast).
+        mdt = (jnp.int8 if max(d for _e, d in chunk_shapes) <= 128
+               else jnp.int16)
         scores_flat = jnp.concatenate(
             [S[:, :, 0].reshape(-1) for (S, _M), _G in outs]).astype(
                 jnp.int16)
@@ -241,7 +246,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
             return scores_flat, None
         maps_flat = jnp.concatenate(
             [M[:, :, 0].reshape(-1, n1r) for (_S, M), _G in outs]).astype(
-                jnp.int8)
+                mdt)
         return scores_flat, maps_flat
 
     return jax.jit(f)
@@ -350,12 +355,15 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
             if lsoln:
                 out_m.append(M[..., 0].reshape(K, -1, n1r))
         # narrow drains: see _make_db_fn2; |score| <= n1*(n1-1) fits
-        # int8 for n1r <= 11 (the dominant small-query case)
+        # int8 for n1r <= 11 (the dominant small-query case); map
+        # dtype derived from the widest bucket dim (values <= d2-1)
         sdt = jnp.int8 if n1r * (n1r - 1) <= 127 else jnp.int16
+        mdt = (jnp.int8 if max(d for _e, d in chunk_shapes) <= 128
+               else jnp.int16)
         scores = jnp.concatenate(out_s, axis=1).astype(sdt)
         if not lsoln:
             return scores, None
-        return scores, jnp.concatenate(out_m, axis=1).astype(jnp.int8)
+        return scores, jnp.concatenate(out_m, axis=1).astype(mdt)
 
     return jax.jit(f)
 
@@ -386,6 +394,23 @@ def _tile_plan(K: int) -> list[int]:
         else:
             t >>= 1
     return plan
+
+
+def _log_tile_waste(K: int, tiles: list[int]) -> int:
+    """Padded-slot accounting for a tile plan (no silent caps: padded
+    slots would re-run the last query under throwaway tags and burn
+    real device iterations).  The power-of-two descent in _tile_plan
+    always sums exactly to K (tiles can shrink to 1), so pad is 0 in
+    practice — this logs loudly if a future plan ever over-allocates."""
+    import sys as _sys
+
+    pad = sum(tiles) - K
+    if pad:
+        print(f"# pallas multiquery: {K} queries -> tiles {tiles}, "
+              f"{pad} padded slot{'s' if pad != 1 else ''} "
+              f"({100.0 * pad / (K + pad):.1f}% of the batch wasted)",
+              file=_sys.stderr)
+    return pad
 
 
 @functools.lru_cache(maxsize=None)
@@ -422,7 +447,7 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
     tags = list(query_tags)
     assert len(tags) == K
     tiles = _tile_plan(K)
-    pad = sum(tiles) - K
+    pad = _log_tile_waste(K, tiles)
     queries = list(queries) + [queries[-1]] * pad
     maxtag = max(tags)
     tags = tags + [maxtag + 1 + i for i in range(pad)]

@@ -42,10 +42,16 @@ class SearchSession:
     def __init__(self, dbfile: str, config: SessionConfig | None = None,
                  entries: list[TableauEntry] | None = None):
         from .core.cache import enable_compile_cache
+        from .core.warmup import warm_backend
 
         enable_compile_cache()  # persist compiled kernels across runs
         self.config = config or SessionConfig()
         self.dbfile = dbfile
+        # absorb the per-process remote-compile session init with a
+        # one-op kernel so the real search programs compile at their
+        # normal ~1-5 s cost (core/warmup.py; no-op on CPU/local TPU)
+        self.warmup_s = (warm_backend()
+                         if self.config.backend != "xla" else 0.0)
 
         self.sharding = None
         pad_to = 1

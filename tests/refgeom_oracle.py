@@ -113,9 +113,16 @@ def _fake_module(name, **attrs):
     return mod
 
 
-def load():
+def load(full: bool = False):
     """Exec the reference geometry.py + ptnode.py with stub deps;
-    returns the ptnode namespace dict, or None if unavailable."""
+    returns the ptnode namespace dict, or None if unavailable.
+
+    With ``full=True`` also execs the reference pttableau.py and
+    ptdistmatrix.py (the tableau/distance-matrix ASSEMBLY layer,
+    pttableau.py:473-570 compute_tableau/compute_omega_matrix and
+    ptdistmatrix.py:1017-1066 compute_sse_midpoint_dist_matrix) and
+    returns the dict {"ptnode": ns, "pttableau": ns, "ptdistmatrix":
+    ns} instead."""
     import os
 
     if not os.path.exists(os.path.join(REF_SCRIPTS, "ptnode.py")):
@@ -142,9 +149,15 @@ def load():
                                   full_matrices=False)))
         oldnum = _fake_module("oldnumeric", array=np.array,
                               zeros=np.zeros, Float=np.float64,
+                              sqrt=np.sqrt, sum=np.sum,
                               linear_algebra=la)
         biopdb = _fake_module("Bio.PDB", Vector=Vector,
-                              calc_dihedral=calc_dihedral)
+                              calc_dihedral=calc_dihedral,
+                              # class/ctor stubs pttableau.py's unused
+                              # TableauCreator wrapper section needs at
+                              # module scope (DomainSelect base etc.)
+                              Select=object, PDBIO=object,
+                              PDBParser=object)
         bio = _fake_module("Bio", PDB=biopdb)
         sys.modules.update({
             "oldnumeric": oldnum,
@@ -180,7 +193,26 @@ def load():
         })
         ns = _exec_module(os.path.join(REF_SCRIPTS, "ptnode.py"), {
             "__builtins__": __builtins__})
-        return ns
+        if not full:
+            return ns
+        # the assembly layer on top: pttableau + ptdistmatrix, with the
+        # ptnode namespace exposed as an importable module (their
+        # `from ptnode import *`) plus the python-2 `sets` shim
+        ptnode_mod = types.ModuleType("ptnode")
+        for k, v in ns.items():
+            if not k.startswith("_"):
+                setattr(ptnode_mod, k, v)
+        sys.modules.update({
+            "ptnode": ptnode_mod,
+            "sets": _fake_module("sets", Set=set),
+            "ptdomain": _fake_module("ptdomain", PTDomain=object),
+        })
+        sys.modules["ptutils"].cleanup_tmpdir = lambda *a, **k: None
+        pttab = _exec_module(os.path.join(REF_SCRIPTS, "pttableau.py"),
+                             {"__builtins__": __builtins__})
+        pdist = _exec_module(os.path.join(REF_SCRIPTS, "ptdistmatrix.py"),
+                             {"__builtins__": __builtins__})
+        return {"ptnode": ns, "pttableau": pttab, "ptdistmatrix": pdist}
     finally:
         sys.modules.clear()
         sys.modules.update(saved)
@@ -216,6 +248,29 @@ def make_node(ns, kind: str, ca_coords: np.ndarray):
     node.axis_centroid = None
     residues = [_FakeResidue(xyz) for xyz in np.asarray(ca_coords)]
     node.get_residue_list = lambda: residues
+    return node
+
+
+_HELIXTYPE = {"H": "ALPHA", "I": "PI", "G": "310"}
+
+
+def make_node4(ns, kind4: str, ca_coords: np.ndarray, seqnum: int,
+               resid_dict: dict):
+    """A fully-populated reference node for the ASSEMBLY oracle: kind4
+    in 'H'/'I'/'G' (alpha/pi/310 helix) or 'E' (strand), with the
+    chainid/start_res_seq/pdb_resid_dict surface PTNode.__lt__ and the
+    diagonal type-coding (get_type / isinstance) need."""
+    node = make_node(ns, "strand" if kind4 == "E" else "helix", ca_coords)
+    node.nodeid = f"sse{seqnum}"
+    node.seqnum = seqnum
+    node.chainid = "A"
+    node.start_res_seq = seqnum
+    node.end_res_seq = seqnum
+    node.pdb_resid_dict = resid_dict
+    if kind4 == "E":
+        node.sheet_id = None
+    else:
+        node.helixtype = _HELIXTYPE[kind4]
     return node
 
 

@@ -440,3 +440,84 @@ def test_relative_angle_and_tabcodes_match_reference():
         assert geom.angle_to_tabcode(our_omega) == ref_code
         checked += 1
     assert checked >= 50  # the sweep actually exercised the encoder
+
+
+def test_full_entry_assembly_matches_reference_oracle():
+    """End-to-end builder parity for COMPLETE entries: drive the
+    reference's own assembly layer — pttableau.compute_tableau
+    (pttableau.py:473-521) and ptdistmatrix.compute_sse_midpoint_dist_
+    matrix (ptdistmatrix.py:1017-1066) — on randomized multi-SSE
+    structures and assert our entry_from_sses output matches
+    code-for-code and Angstrom-for-Angstrom (float32, after convdb2's
+    NaN -> 0.0, convdb2.py:221-224).  This is the test that would fail
+    on any midpoint-convention divergence feeding the 4.0 A threshold."""
+    oracle, _ns = _load_refgeom()
+    if _ns is None:
+        pytest.skip("reference scripts not available")
+    nss = oracle.load(full=True)
+    ptnode_ns = nss["ptnode"]
+    pttab = nss["pttableau"]
+    pdist = nss["ptdistmatrix"]
+
+    from cuda_satabsearch_tpu.build.builder import SSE, entry_from_sses
+    from cuda_satabsearch_tpu.core import codes
+
+    diag_code = {"e ": 0, "xa": 1, "xi": 2, "xg": 3}
+    rng = np.random.default_rng(2024)
+    pair_checked = 0
+    nan_checked = 0
+    for trial in range(12):
+        n = int(rng.integers(3, 9))
+        kinds, cas, sheets = [], [], []
+        for s in range(n):
+            kind = "HIGE"[int(rng.integers(4))]
+            ca = _random_sse(rng, "strand" if kind == "E" else "helix")
+            if trial >= 8 and s == 0:
+                ca = ca[:1]  # 1-residue SSE: fit_axis fails -> NaN dist
+            kinds.append(kind)
+            cas.append(ca)
+            sheets.append("A" if kind == "E" and rng.random() < 0.7
+                          else "")
+
+        use_hk = trial % 2 == 1
+        resid_dict = {("A", s): s for s in range(n)}
+        nodes = [oracle.make_node4(ptnode_ns, kinds[s], cas[s], s,
+                                   resid_dict) for s in range(n)]
+        for s in range(n):
+            if kinds[s] == "E":
+                nodes[s].sheet_id = sheets[s] or None
+        ref_tab = pttab["compute_tableau"](nodes, None, use_hk=use_hk)
+        ref_dm = np.asarray(
+            pdist["compute_sse_midpoint_dist_matrix"](nodes, None),
+            dtype=np.float64)
+
+        ours = entry_from_sses(
+            [SSE(kind=kinds[s], chain="A", start=str(s), end=str(s),
+                 ca=cas[s], sheet_id=sheets[s]) for s in range(n)],
+            "ORACLE", use_hk=use_hk)
+
+        # distance matrix: convdb2's NaN -> 0.0, then float32
+        nan_checked += int(np.isnan(ref_dm).any())
+        ref_dm32 = np.nan_to_num(ref_dm, nan=0.0).astype(np.float32)
+        assert np.array_equal(ours.dmat, ref_dm32), trial
+
+        # tableau: every off-diagonal code identical (unset pairs in
+        # the reference tableau mean omega was None -> our '??')
+        for i in range(n):
+            assert diag_code[ref_tab[(i, i)]] == ours.types[i]
+            for j in range(i + 1, n):
+                try:
+                    code = ref_tab[(i, j)]
+                except KeyError:
+                    code = "??"
+                if code in ("HH", "KK"):
+                    hi = lo = 4
+                    assert (ours.tabhi[i, j], ours.tablo[i, j]) == (4, 4), (
+                        trial, i, j, code)
+                else:
+                    hi, lo = codes.encode_tabcode(code)
+                assert (ours.tabhi[i, j], ours.tablo[i, j]) == (hi, lo), (
+                    trial, i, j, code)
+                assert (ours.tabhi[j, i], ours.tablo[j, i]) == (hi, lo)
+                pair_checked += 1
+    assert pair_checked >= 100 and nan_checked >= 2

@@ -346,3 +346,23 @@ def test_kernel_blocked_fetch_bitwise():
     for fetch, s, m in outs[1:]:
         np.testing.assert_array_equal(outs[0][1], s, err_msg=fetch)
         np.testing.assert_array_equal(outs[0][2], m, err_msg=fetch)
+
+
+def test_tile_plan_exact_and_waste_logged(capsys):
+    """_tile_plan's power-of-two descent covers any K exactly (no
+    padded slots); _log_tile_waste stays silent then, and reports
+    loudly if a plan ever over-allocates (no silent caps)."""
+    from cuda_satabsearch_tpu.ops.pallas_search import (K_TILE,
+                                                        _log_tile_waste,
+                                                        _tile_plan)
+
+    for k in range(1, 4 * K_TILE + 3):
+        tiles = _tile_plan(k)
+        assert sum(tiles) == k, (k, tiles)
+        assert all(t == K_TILE or (t & (t - 1)) == 0 for t in tiles)
+        assert _log_tile_waste(k, tiles) == 0
+    assert capsys.readouterr().err == ""
+
+    # a hypothetical padding plan is logged to stderr, never silent
+    assert _log_tile_waste(3, [4]) == 1
+    assert "1 padded slot" in capsys.readouterr().err
