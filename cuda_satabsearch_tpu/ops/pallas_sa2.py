@@ -72,6 +72,20 @@ TUNED_CONFIG = {8: (16, "bd", "roll"), 16: (16, "bd", "mxu"),
                 104: (4, "gdot", "mxu"), 112: (4, "gdot", "mxu")}
 
 
+# widths where the "dg" dynamic-gather fetch beats the MXU one-hot
+# fetch for lane-fusable queries (n1r == 8), with the winning group
+# size; HW sweep 2026-08-21 (scripts/sweep_dg.py, TPU v5 lite): dg won
+# EVERY width, 1.06-1.24x of the previous tuned config (1894 M it/s at
+# d2=8, 311 at d2=112), always with cum="mxu"
+TUNED_DG: dict[int, int] = {8: 16, 16: 8, 24: 8, 32: 8, 40: 8, 48: 8,
+                            56: 8, 64: 4, 72: 4, 80: 8, 88: 4, 96: 4,
+                            104: 4, 112: 4}
+
+# same for two-plane queries (12 <= n1 <= 16): the fused query index
+# spans 256 lanes, fetched as 2 gathers + a plane select
+TUNED_DG16: dict[int, int] = {}
+
+
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
     """Entries per grid step (see TUNED_CONFIG; measured on real HW).
     Falls back to a row-budget formula for widths not in the table.
@@ -124,17 +138,74 @@ def make_qb2_batched(qtabps, qdmats, G: int):
             bot.reshape(K, n1r * G, G * n1r).astype(BF16))
 
 
-def choose_fetch(d2: int, group: int | None = None) -> str:
+def dg_planes(n1r: int) -> int:
+    """Lane planes the "dg" query fetch needs: the fused (revmap, ssei)
+    index spans n1r*n1r values, 128 per plane."""
+    return -(-n1r * n1r // C_LANES)
+
+
+def make_qflat(qtabp: np.ndarray, qdmat: np.ndarray):
+    """Lane-fused query matrices for the "dg" fetch mode:
+    [8*planes, 128] (code, dist) vectors where plane p's row block
+    holds lanes [128p, 128p + 128) of the flattened qtabp/qdmat — lane
+    j of plane p = value at flat index 128p + j (rows within a block
+    broadcast, the kernel reads row 8p).  The kernel reads the query
+    value of pair (revmap[l], ssei) with one per-lane dynamic gather
+    per plane at the fused index revmap*n1r + ssei (plane-selected for
+    n1r > 11; ONE gather when n1r*n1r <= 128)."""
+    n1r = qtabp.shape[0]
+    npl = dg_planes(n1r)
+
+    def flat(x):
+        v = jnp.asarray(x, F32).reshape(1, -1)
+        v = jnp.pad(v, ((0, 0), (0, npl * C_LANES - n1r * n1r)))
+        v = v.reshape(npl, 1, C_LANES)
+        return jnp.broadcast_to(v, (npl, 8, C_LANES)).reshape(
+            npl * 8, C_LANES)
+
+    return flat(qtabp), flat(qdmat)
+
+
+def make_qflat_batched(qtabps, qdmats):
+    """make_qflat over a stacked query axis: [K, n1r, n1r] -> two
+    [K, 8*planes, 128]."""
+    K, n1r = qtabps.shape[:2]
+    npl = dg_planes(n1r)
+
+    def flat(x):
+        v = jnp.asarray(x, F32).reshape(K, 1, -1)
+        v = jnp.pad(v, ((0, 0), (0, 0),
+                        (0, npl * C_LANES - n1r * n1r)))
+        v = v.reshape(K, npl, 1, C_LANES)
+        return jnp.broadcast_to(v, (K, npl, 8, C_LANES)).reshape(
+            K, npl * 8, C_LANES)
+
+    return flat(qtabps), flat(qdmats)
+
+
+def choose_fetch(d2: int, group: int | None = None,
+                 n1r: int | None = None) -> str:
     """Column-fetch strategy for the one-hot tableau/distance reads.
 
     'bd': all G entries in one [G*d2, G*d2] block-diagonal MXU dot per
     column block — perfectly MXU-shaped but quadratic in G (the
     off-diagonal blocks are zero).  'gdot': one entry per [d2, d2] x
     [d2, W] dot — minimal FLOPs but issue-bound at large G.  'bd<k>':
-    the unified blocked form, k entries per block.  Measured on real
-    HW: one block wins while G*d2 <= 256; beyond that, blocks of
-    ~256/d2 entries balance MXU FLOPs against dot-issue count.
+    the unified blocked form, k entries per block.  'dg': per-lane
+    dynamic gathers (tpu.dynamic_gather along lanes) replace BOTH the
+    one-hot MXU fetch (cost O(d2^2) per move) and the per-query-SSE
+    revmap select loop with three [DQ, C] gathers from padded
+    [DQ, 128] value planes — per-move cost O(d2), like the reference's
+    per-thread deltasd (kernel.cu:502-535); needs n1r*n1r <= 128
+    lanes (n1r == 8) for the fused (revmap, ssei) query index.
+    Measured on real HW: one 'bd' block wins while G*d2 <= 256;
+    'dg' adoption per width lives in TUNED_DG / TUNED_DG16 (HW-swept).
     """
+    if n1r is not None:
+        npl = dg_planes(n1r)
+        if (npl == 1 and d2 in TUNED_DG) or (npl == 2
+                                             and d2 in TUNED_DG16):
+            return "dg"
     if d2 in TUNED_CONFIG:
         fetch = TUNED_CONFIG[d2][1]
         if fetch == "bd" and group is not None and group * d2 > 512:
@@ -214,11 +285,19 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     maxiter = p.maxiter
     n1r = round8(n1)
     P = n1r + 3 * maxiter  # the n1r slot schedule (ops/common.py)
+    auto_fetch = fetch == "auto"
+    if auto_fetch:
+        fetch = choose_fetch(d2, None, n1r)  # "dg" is group-free
+    dg = fetch == "dg"
+    NPL = dg_planes(n1r) if dg else 0  # query-fetch lane planes
+    if group is None and dg:
+        group = (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2)
     G = min(group if group is not None else choose_group(d2, n1r), E)
-    if fetch == "auto":
-        fetch = choose_fetch(d2, G)
+    if auto_fetch and not dg:
+        fetch = choose_fetch(d2, G)  # group-aware bd<k> adjustment
     if cum == "auto":
-        cum = choose_cum(d2)
+        cum = "mxu" if dg else choose_cum(d2)  # dg sweep: mxu won
+        # at every width
     while E % G:  # fall back to the largest divisor of E at or below
         G -= 1   # the tuned preference (chunks are padded to pow2/16x)
     assert E % G == 0, (E, G)
@@ -235,10 +314,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     # entries per fetch/cum MXU block: "bd" = all G in one block-
     # diagonal dot (quadratic in G), "gdot" = one entry per dot
     # (issue-bound at large G), "bd<k>" = k per block — the unified
-    # blocked form; B must divide G
+    # blocked form; B must divide G.  "dg" has no fetch blocks (the
+    # blocking then only shapes cum="mxu"'s tril dots, per entry).
     if fetch == "bd":
         B = G
-    elif fetch == "gdot":
+    elif fetch in ("gdot", "dg"):
         B = 1
     else:
         B = min(G, int(fetch[2:]))
@@ -362,9 +442,17 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         rest = rest[4:]
         bestmap = rest.pop(0) if lsoln else None
         qc_s = None
-        if not kloop_unroll:
-            qc_s = rest.pop(0)
-        bd_all = rest.pop(0)  # [2DQ, BD]: per block, tab rows above dmat
+        bd_all = dbc_s = dbd_s = qfc_s = qfd_s = None
+        if dg:
+            # padded per-lane value planes for the dynamic gathers
+            dbc_s = rest.pop(0)  # [DQ, C] db packed codes (cols j)
+            dbd_s = rest.pop(0)  # [DQ, C] db distances
+            qfc_s = rest.pop(0)  # [DQ, C] query codes, lanes k*n1r+i
+            qfd_s = rest.pop(0)  # [DQ, C] query distances
+        else:
+            if not kloop_unroll:
+                qc_s = rest.pop(0)
+            bd_all = rest.pop(0)  # [2DQ, BD]: tab rows above dmat
         tril = rest.pop(0) if cum == "mxu" else None
 
         # loop-invariant index planes, computed once per grid step
@@ -434,18 +522,43 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         # q sweep for this eg).  B entries per block; within block b,
         # tab rows stacked ABOVE dmat rows so one [2BD, BD] x [BD, W]
         # dot fetches tableau and distance columns together.
-        @pl.when(jnp.logical_and(q == 0, r == 0))
-        def _():
-            if B > 1:
-                bd_all[...] = jnp.zeros((2 * DQ, BD), BF16)
-            for g in range(G):
-                b, e = divmod(g, B)
-                rows = pl.ds(2 * b * BD + e * d2, d2)
-                rows_d = pl.ds(2 * b * BD + BD + e * d2, d2)
-                cols = pl.ds(e * d2, d2)
-                src = pl.ds(g * d2, d2)
-                bd_all[rows, cols] = tab2p_ref[src, :].astype(BF16)
-                bd_all[rows_d, cols] = dmat2_ref[src, :].astype(BF16)
+        if not dg:
+            @pl.when(jnp.logical_and(q == 0, r == 0))
+            def _():
+                if B > 1:
+                    bd_all[...] = jnp.zeros((2 * DQ, BD), BF16)
+                for g in range(G):
+                    b, e = divmod(g, B)
+                    rows = pl.ds(2 * b * BD + e * d2, d2)
+                    rows_d = pl.ds(2 * b * BD + BD + e * d2, d2)
+                    cols = pl.ds(e * d2, d2)
+                    src = pl.ds(g * d2, d2)
+                    bd_all[rows, cols] = tab2p_ref[src, :].astype(BF16)
+                    bd_all[rows_d, cols] = dmat2_ref[src, :].astype(BF16)
+        else:
+            # "dg" value planes: db rows padded to the full lane width
+            # (built once per entry group), query vectors broadcast
+            # down the rows (once per query sweep position)
+            cpad = (jnp.zeros((DQ, C - d2), F32) if d2 < C else None)
+
+            @pl.when(jnp.logical_and(q == 0, r == 0))
+            def _():
+                t = tab2p_ref[...]
+                d = dmat2_ref[...]
+                if cpad is not None:
+                    t = jnp.concatenate([t, cpad], axis=1)
+                    d = jnp.concatenate([d, cpad], axis=1)
+                dbc_s[...] = t
+                dbd_s[...] = d
+
+            @pl.when(r == 0)
+            def _():
+                for pp in range(NPL):
+                    rows = pl.ds(pp * DQ, DQ)
+                    qfc_s[rows, :] = jnp.broadcast_to(
+                        qb2t_ref[8 * pp:8 * pp + 1, :], (DQ, C))
+                    qfd_s[rows, :] = jnp.broadcast_to(
+                        qb2d_ref[8 * pp:8 * pp + 1, :], (DQ, C))
 
         @pl.when(r == 0)
         def _():
@@ -484,12 +597,53 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             return rng_ref[0, 0, pl.ds(slot * G, nrows * G), :]
 
         types2 = types2_ref[...]  # [DQ, 1]
-        # query scatter matrices stacked once per grid step (codes are
-        # <= 27 and distances bf16-quantized at pack time, so both
-        # halves are bf16-exact): ONE [2NQH, NQ] x [NQ, C] dot per
-        # iteration fetches code and distance columns together
-        g_q = jnp.concatenate([qb2t_ref[...], qb2d_ref[...]], axis=0)
-        g_all = bd_all[...]  # [2DQ, BD] bf16
+        g_q = g_all = None
+        if not dg:
+            # query scatter matrices stacked once per grid step (codes
+            # are <= 27 and distances bf16-quantized at pack time, so
+            # both halves are bf16-exact): ONE [2NQH, NQ] x [NQ, C]
+            # dot per iteration fetches code and distance columns
+            # together
+            g_q = jnp.concatenate([qb2t_ref[...], qb2d_ref[...]], axis=0)
+            g_all = bd_all[...]  # [2DQ, BD] bf16
+
+        def fetch_db(jcol):
+            """"dg": (codes [DQ, C], dists [DQ, C]) at column jcol
+            ([G, C], may be -1: clamped, callers gate) of each entry's
+            tableau/distance rows — two per-lane dynamic gathers."""
+            if "fetch" in knock:  # profiling stand-in
+                f = jcol.astype(F32)
+                return rep_d(f), rep_d(f * 2.0)
+            idx = rep_d(jnp.maximum(jcol, 0))
+            return (jnp.take_along_axis(dbc_s[...], idx, axis=1),
+                    jnp.take_along_axis(dbd_s[...], idx, axis=1))
+
+        def fetch_q(rmap_v, sseid):
+            """"dg": query (codes, dists) of pair (revmap[l], ssei) per
+            db row — one gather per lane plane at the fused index
+            revmap*n1r + ssei (ONE when n1r*n1r <= 128; plane-selected
+            beyond; tableaux are symmetric, so the (k, i) orientation
+            is free); unmapped rows (revmap < 0) gather plane-0 junk
+            that every consumer gates on revmap >= 0."""
+            if "gather" in knock:  # profiling stand-in
+                f = sseid.astype(F32)
+                return f, f * 2.0
+            idx = jnp.maximum(rmap_v, 0) * n1r + sseid
+            if NPL == 1:
+                return (jnp.take_along_axis(qfc_s[...], idx, axis=1),
+                        jnp.take_along_axis(qfd_s[...], idx, axis=1))
+            lane = idx & (C - 1)
+            out_c = jnp.take_along_axis(qfc_s[0:DQ, :], lane, axis=1)
+            out_d = jnp.take_along_axis(qfd_s[0:DQ, :], lane, axis=1)
+            plane = jnp.right_shift(idx, 7)
+            for pp in range(1, NPL):
+                m = plane == pp
+                rows = pl.ds(pp * DQ, DQ)
+                out_c = jnp.where(m, jnp.take_along_axis(
+                    qfc_s[rows, :], lane, axis=1), out_c)
+                out_d = jnp.where(m, jnp.take_along_axis(
+                    qfd_s[rows, :], lane, axis=1), out_d)
+            return out_c, out_d
 
         def fetch_cols(oh):
             """(tab cols [DQ, W], dmat cols [DQ, W]) for a [DQ, W]
@@ -553,18 +707,23 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         # over mapped db SSEs l (k = revmap[l]); every pair is counted
         # twice (at i and at k), and the tableau scores are small
         # integers, so halving the f32 sum is exact.
-        gather_by_revmap = make_gather_by_revmap(qc_s)
+        gather_by_revmap = (None if dg else make_gather_by_revmap(qc_s))
 
         def initscore_body(i, acc):
             rmap_v = revmap[...]
             l_i = seg_sum_q(jnp.where(ki == i, ssemap[...], 0))  # [G, C]
             lid = rep_d(l_i)
-            oh_i = li == lid
-            pt, rd = fetch_cols(oh_i.astype(BF16))
-            ohc = (ki == i).astype(BF16)  # [NQ, C]
-            qc2 = jnp.dot(g_q, ohc, preferred_element_type=F32)
-            qs = gather_by_revmap(pack_qc(qc2[:NQH], qc2[NQH:]), rmap_v)
-            codeq, qs_d = unpack_qc(qs)
+            if dg:
+                pt, rd = fetch_db(l_i)
+                codeq, qs_d = fetch_q(rmap_v, i)
+            else:
+                oh_i = li == lid
+                pt, rd = fetch_cols(oh_i.astype(BF16))
+                ohc = (ki == i).astype(BF16)  # [NQ, C]
+                qc2 = jnp.dot(g_q, ohc, preferred_element_type=F32)
+                qs = gather_by_revmap(pack_qc(qc2[:NQH], qc2[NQH:]),
+                                      rmap_v)
+                codeq, qs_d = unpack_qc(qs)
             qhi = jnp.floor(codeq * 0.125)
             qlo = codeq - qhi * 8.0
             use = ((rmap_v >= 0) & (rmap_v != i) & (lid >= 0)
@@ -640,25 +799,34 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
             oldj = seg_sum_q(jnp.where(m1, smap_v, 0))  # [G, C]
 
-            # db-side rows for old and new: tableau AND distance
-            # columns for BOTH in ONE stacked dot
             oldd = rep_d(oldj)
             newd = rep_d(newj)
-            oh_o = li == oldd
-            oh_n = li == newd
-            ohb = jnp.concatenate([oh_o, oh_n], axis=1).astype(BF16)
-            tabs, dmats = fetch_cols(ohb)  # [DQ, 2C] each
-            rt_o = tabs[:, :C]
-            rt_n = tabs[:, C:]
-            rd_o = dmats[:, :C]
-            rd_n = dmats[:, C:]
+            if dg:
+                # db values at columns oldj/newj and the query value of
+                # pair (revmap[l], ssei): five per-lane dynamic gathers
+                # replace the one-hot MXU fetch + revmap select loop
+                rt_o, rd_o = fetch_db(oldj)
+                rt_n, rd_n = fetch_db(newj)
+                codeq, qs_d = fetch_q(rmap_v, rep_d(ssei))
+            else:
+                # db-side rows for old and new: tableau AND distance
+                # columns for BOTH in ONE stacked dot
+                oh_o = li == oldd
+                oh_n = li == newd
+                ohb = jnp.concatenate([oh_o, oh_n], axis=1).astype(BF16)
+                tabs, dmats = fetch_cols(ohb)  # [DQ, 2C] each
+                rt_o = tabs[:, :C]
+                rt_n = tabs[:, C:]
+                rd_o = dmats[:, :C]
+                rd_n = dmats[:, C:]
 
-            # query-side values at (k, ssei), scattered to db rows;
-            # code and distance packed into one gather accumulator
-            m1f = m1.astype(BF16)
-            qc2 = jnp.dot(g_q, m1f, preferred_element_type=F32)
-            qs = gather_by_revmap(pack_qc(qc2[:NQH], qc2[NQH:]), rmap_v)
-            codeq, qs_d = unpack_qc(qs)
+                # query-side values at (k, ssei), scattered to db rows;
+                # code and distance packed into one gather accumulator
+                m1f = m1.astype(BF16)
+                qc2 = jnp.dot(g_q, m1f, preferred_element_type=F32)
+                qs = gather_by_revmap(pack_qc(qc2[:NQH], qc2[NQH:]),
+                                      rmap_v)
+                codeq, qs_d = unpack_qc(qs)
             qhi = jnp.floor(codeq * 0.125)
             qlo = codeq - qhi * 8.0
 
@@ -743,10 +911,14 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         # whose trailing dim is neither 128-divisible nor full)
         pl.BlockSpec((None, NQ, 1), lambda e, q, r: (q, 0, 0),
                      memory_space=pltpu.VMEM),  # qtypes tiled vector
-        pl.BlockSpec((None, NQH, NQ), lambda e, q, r: (q, 0, 0),
-                     memory_space=pltpu.VMEM),  # qb2t (codes, bf16)
-        pl.BlockSpec((None, NQH, NQ), lambda e, q, r: (q, 0, 0),
-                     memory_space=pltpu.VMEM),  # qb2d (distances, bf16)
+        # query matrices: scattered [NQH, NQ] bf16 for the MXU fetch
+        # modes, lane-fused [8*planes, 128] f32 vectors for "dg"
+        pl.BlockSpec((None, 8 * NPL, C) if dg else (None, NQH, NQ),
+                     lambda e, q, r: (q, 0, 0),
+                     memory_space=pltpu.VMEM),  # qb2t / qfc
+        pl.BlockSpec((None, 8 * NPL, C) if dg else (None, NQH, NQ),
+                     lambda e, q, r: (q, 0, 0),
+                     memory_space=pltpu.VMEM),  # qb2d / qfd
         pl.BlockSpec((DQ, 1), lambda e, q, r: (e, 0),
                      memory_space=pltpu.VMEM),  # types2 flat [E*d2, 1]
         pl.BlockSpec((DQ, d2), lambda e, q, r: (e, 0),
@@ -773,9 +945,15 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     ]
     if lsoln:
         scratch.append(pltpu.VMEM((NQ, C), jnp.int32))  # bestmap
-    if not kloop_unroll:
-        scratch.append(pltpu.VMEM((NQH, C), jnp.float32))  # qc_s (gather)
-    scratch.append(pltpu.VMEM((2 * DQ, BD), BF16))  # bd_all
+    if dg:
+        scratch.append(pltpu.VMEM((DQ, C), jnp.float32))  # dbc_s
+        scratch.append(pltpu.VMEM((DQ, C), jnp.float32))  # dbd_s
+        scratch.append(pltpu.VMEM((NPL * DQ, C), jnp.float32))  # qfc_s
+        scratch.append(pltpu.VMEM((NPL * DQ, C), jnp.float32))  # qfd_s
+    else:
+        if not kloop_unroll:
+            scratch.append(pltpu.VMEM((NQH, C), jnp.float32))  # qc_s
+        scratch.append(pltpu.VMEM((2 * DQ, BD), BF16))  # bd_all
     if cum == "mxu":
         scratch.append(pltpu.VMEM((BD, BD), BF16))  # tril ones
     call = pl.pallas_call(
@@ -799,6 +977,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         (scores,) = out
         return scores, None
 
+    batched.qrep = "qflat" if dg else "qb2"  # query-rep the caller
+    # must build (make_qflat[_batched] vs make_qb2[_batched])
     if nq > 1 or batched_api:
         return batched, G
 
@@ -813,4 +993,5 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                        t2, tp, dm, rng, tags, n1s)
         return s[0], (None if m is None else m[0])
 
+    single.qrep = batched.qrep
     return single, G

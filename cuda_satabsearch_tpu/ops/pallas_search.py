@@ -48,6 +48,54 @@ MAX_GROUP = 16  # pallas_sa2.choose_group upper bound; chunk sizes must
 # be multiples of it so any group size divides them
 
 
+def _i16_bytes(x):
+    """[..., N] int16 -> [..., N, 2] int8 (lo, hi) — arithmetic split,
+    endianness-free, exact for the full int16 range.  Lets scores and
+    maps leave the device in ONE packed int8 transfer: each D2H drain
+    costs a full tunnel round trip (~25 ms), so two sequential drains
+    double the warm per-query latency."""
+    lo = (x & 255).astype(jnp.int8)
+    hi = (x >> 8).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _i16_unbytes(p):
+    """numpy [..., 2] int8 (lo, hi) -> [...] int16."""
+    return ((p[..., 1].astype(np.int16) << 8)
+            | (p[..., 0].astype(np.int16) & 0xFF))
+
+
+def _pack_out(scores, maps):
+    """(int8/int16 scores [..., N], int8/int16 maps [..., N, n1r] or
+    None) -> ONE int8 array [..., N, W]; layout: the score byte(s)
+    then the map bytes (int16 planes byte-split lo, hi)."""
+    parts = [scores[..., None] if scores.dtype == jnp.int8
+             else _i16_bytes(scores)]
+    if maps is not None:
+        if maps.dtype == jnp.int16:
+            parts.append(_i16_bytes(maps).reshape(
+                maps.shape[:-1] + (2 * maps.shape[-1],)))
+        else:
+            parts.append(maps)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _unpack_out(packed, n1r, lsoln, map16, s16):
+    """Host-side inverse of _pack_out on the drained numpy array."""
+    sb = 2 if s16 else 1
+    scores = (_i16_unbytes(packed[..., :2]) if s16
+              else packed[..., 0].astype(np.int32))
+    if not lsoln:
+        return scores, None
+    mb = packed[..., sb:]
+    if map16:
+        maps = _i16_unbytes(
+            mb.reshape(mb.shape[:-1] + (n1r, 2)))
+    else:
+        maps = mb.astype(np.int32)
+    return scores, maps
+
+
 def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
                            chunk_entries: int = CHUNK_ENTRIES,
                            mesh=None) -> dict:
@@ -130,7 +178,8 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
     runs are bitwise identical.  No collectives in the hot loop — the
     score gather happens at drain time.
     """
-    from .pallas_sa2 import make_pallas2_bucket_search, make_qb2
+    from .pallas_sa2 import (make_pallas2_bucket_search, make_qb2,
+                             make_qflat)
 
     assert n1r == round8(n1r), n1r
     P = slots_per_restart(n1r, params.maxiter)
@@ -209,11 +258,14 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
         for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
                 chunk_shapes, chunk_args):
             kern, G = kerns[(E, d2)]
-            if G not in qb2s:
-                qb2s[G] = (make_qb2(qtabp, qdmat, G),
-                           jnp.tile(qt.astype(jnp.int32)[:, None],
-                                    (G, 1)))
-            (qb2t, qb2d), qtv = qb2s[G]
+            qkey = (kern.qrep, G)
+            if qkey not in qb2s:
+                qb2s[qkey] = (make_qflat(qtabp, qdmat)
+                              if kern.qrep == "qflat"
+                              else make_qb2(qtabp, qdmat, G),
+                              jnp.tile(qt.astype(jnp.int32)[:, None],
+                                       (G, 1)))
+            (qb2t, qb2d), qtv = qb2s[qkey]
             if mesh is not None:
                 out = _sharded_call(kern, G, E, d2, indices, n2, types2,
                                     tab2p, dmat2, seed, tag, n1s, qt,
@@ -243,42 +295,12 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
             [S[:, :, 0].reshape(-1) for (S, _M), _G in outs]).astype(
                 jnp.int16)
         if not lsoln:
-            return scores_flat, None
+            return scores_flat
         maps_flat = jnp.concatenate(
             [M[:, :, 0].reshape(-1, n1r) for (_S, M), _G in outs]).astype(
                 mdt)
-        return scores_flat, maps_flat
-
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=None)
-def _make_db_scan_fn2(chunk_shapes: tuple, n1r: int, c_par: int,
-                      r_seq: int, lorder: bool, params: SAParams,
-                      interpret: bool, rng_mode: str,
-                      lsoln: bool = True, mesh=None):
-    """Multi-query single-dispatch: lax.scan over a stacked query axis.
-
-    The scan body is the whole-DB search of _make_db_fn2 — compiled
-    ONCE regardless of the number of queries — and the stacked outputs
-    leave the device as a single transfer.  This is the piece the
-    reference only scaffolds (host/GPU overlap, cudaSaTabsearch.cu
-    :1089-1091 commented out): with a remote-tunnel TPU a D2H drain
-    costs a ~25-35 ms round trip, so per-query draining caps wall-clock
-    throughput regardless of kernel speed.
-    """
-    inner = _make_db_fn2(chunk_shapes, n1r, c_par, r_seq, lorder, params,
-                         interpret, rng_mode, lsoln, mesh).__wrapped__
-
-    def f(seed, tags, n1s, qts, qtabps, qdmats, chunk_args):
-        def body(_, per_q):
-            tag, n1q, qt, qtabp, qdmat = per_q
-            return None, inner(seed, tag, n1q, qt, qtabp, qdmat,
-                               chunk_args)
-
-        _, (scores, maps) = jax.lax.scan(
-            body, None, (tags, n1s, qts, qtabps, qdmats))
-        return scores, maps  # [K, total], [K, total, n1r]
+        # ONE packed int8 output: scores + maps drain in a single D2H
+        return _pack_out(scores_flat, maps_flat)
 
     return jax.jit(f)
 
@@ -286,26 +308,105 @@ def _make_db_scan_fn2(chunk_shapes: tuple, n1r: int, c_par: int,
 @functools.lru_cache(maxsize=None)
 def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
                  r_seq: int, lorder: bool, params: SAParams,
-                 interpret: bool, rng_mode: str, lsoln: bool = False):
+                 interpret: bool, rng_mode: str, lsoln: bool = False,
+                 mesh=None):
     """K-query batched whole-DB search: the kernel's query grid axis
     runs all K queries in ONE pallas_call per chunk (total pallas_calls
     = #chunks, vs K x #chunks under the scan path), so the per-call
     fixed cost — launch, VMEM setup, the glue ops around each call —
     is paid once per chunk.  Keyed by n1r = round8(n1): the K queries
     may have ANY mix of exact orders within the bucket (per-query
-    orders ride in the traced ``n1s`` array).  Outputs match
-    _make_db_scan_fn2's ([K, total] scores, [K, total, n1r] maps); RNG
-    streams are identical to the sequential path (keyed by per-query
-    tags)."""
-    from .pallas_sa2 import make_pallas2_bucket_search, make_qb2_batched
+    orders ride in the traced ``n1s`` array).  Output: [K, total]
+    scores + [K, total, n1r] maps; RNG streams are identical to
+    per-query dispatch (keyed by per-query tags).
+
+    With ``mesh`` (1-D jax.sharding.Mesh over the entry axis) each
+    chunk's batched kernel runs SPMD via shard_map on its local 1/n
+    entry slice — the fastest kernel configuration (query grid axis)
+    and multi-chip execution are the SAME code path.  Per-entry RNG is
+    keyed by global file-order indices, so sharded == unsharded
+    bitwise."""
+    from .pallas_sa2 import (make_pallas2_bucket_search, make_qb2_batched,
+                             make_qflat_batched)
 
     assert n1r == round8(n1r), n1r
     P = slots_per_restart(n1r, params.maxiter)
+    ndev = mesh.size if mesh is not None else 1
     kerns = {}
     for E, d2 in set(chunk_shapes):
+        assert E % ndev == 0, (E, ndev)
         kerns[(E, d2)] = make_pallas2_bucket_search(
-            E, n1r, d2, c_par, r_seq, lorder, params, interpret,
+            E // ndev, n1r, d2, c_par, r_seq, lorder, params, interpret,
             rng_mode, lsoln, nq=K, batched_api=True)
+
+    def _uniformsK(indices, seed, tags, E, G):
+        def per_tag(tag):
+            keys = jax.vmap(lambda i: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(seed), tag),
+                i))(indices)
+
+            def per_entry(key):
+                def per_restart(r):
+                    u = jax.random.uniform(
+                        jax.random.fold_in(key, r), (P, c_par),
+                        dtype=jnp.float32)
+                    u = log_acc_slots(u, n1r)
+                    if c_par < C_LANES:
+                        u = jnp.pad(
+                            u, ((0, 0), (0, C_LANES - c_par)))
+                    return u
+                return jax.vmap(per_restart)(
+                    jnp.arange(r_seq, dtype=jnp.uint32))
+
+            u4 = jax.vmap(per_entry)(keys)  # [E, r, P, C]
+            return (u4.reshape(E // G, G, r_seq, P, C_LANES)
+                    .transpose(0, 2, 3, 1, 4)
+                    .reshape(E // G, r_seq, P * G, C_LANES))
+
+        return jax.vmap(per_tag)(tags)  # [K, EG, r, PG, C]
+
+    def _callK(kern, G, E, indices, n2, types2, tab2p, dmat2, seed,
+               tags, n1s, qts, qtvs, qb2t, qb2d):
+        if rng_mode == "pltpu":
+            rng_in = jnp.concatenate([
+                jnp.asarray(seed, jnp.int32)[None],
+                jnp.zeros((1,), jnp.int32),  # tag slot unused
+                indices.astype(jnp.int32)])
+        else:
+            rng_in = _uniformsK(indices, seed, tags, E, G)
+        return kern(n2, qts.astype(jnp.int32), qtvs, qb2t, qb2d,
+                    types2, tab2p, dmat2, rng_in, tags, n1s)
+
+    def _shardedK(kern, G, E, indices, n2, types2, tab2p, dmat2, seed,
+                  tags, n1s, qts, qtvs, qb2t, qb2d):
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as SP
+
+        ax = mesh.axis_names[0]
+        ent = SP(ax)
+        ent2 = SP(ax, None)
+        rep = SP()
+
+        def body(idx_l, n2_l, t2_l, tp_l, dm_l, seed_a, tags_a, n1s_a,
+                 qts_a, qtvs_a, qb2t_a, qb2d_a):
+            out = _callK(kern, G, E // ndev, idx_l, n2_l, t2_l, tp_l,
+                         dm_l, seed_a, tags_a, n1s_a, qts_a, qtvs_a,
+                         qb2t_a, qb2d_a)
+            return out if lsoln else out[0]
+
+        out_specs = (SP(None, ax, None, None),)
+        if lsoln:
+            out_specs += (SP(None, ax, None, None),)
+        out = shard_map(
+            body, mesh=mesh,
+            in_specs=(ent, ent, ent2, ent2, ent2, rep, rep, rep, rep,
+                      rep, rep, rep),
+            out_specs=out_specs if lsoln else out_specs[0],
+            check_rep=False,
+        )(indices, n2, types2, tab2p, dmat2,
+          jnp.asarray(seed, jnp.int32), tags, n1s, qts, qtvs, qb2t,
+          qb2d)
+        return out if lsoln else (out, None)
 
     def f(seed, tags, n1s, qts, qtabps, qdmats, chunk_args):
         qb2s = {}
@@ -314,43 +415,17 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
         for (E, d2), (indices, n2, types2, tab2p, dmat2) in zip(
                 chunk_shapes, chunk_args):
             kern, G = kerns[(E, d2)]
-            if G not in qb2s:
-                qb2s[G] = (make_qb2_batched(qtabps, qdmats, G),
-                           jnp.tile(qts.astype(jnp.int32)[:, :, None],
-                                    (1, G, 1)))
-            (qb2t, qb2d), qtvs = qb2s[G]
-            if rng_mode == "pltpu":
-                rng_in = jnp.concatenate([
-                    jnp.asarray(seed, jnp.int32)[None],
-                    jnp.zeros((1,), jnp.int32),  # tag slot unused
-                    indices.astype(jnp.int32)])
-            else:
-                def per_tag(tag):
-                    keys = jax.vmap(lambda i: jax.random.fold_in(
-                        jax.random.fold_in(jax.random.PRNGKey(seed), tag),
-                        i))(indices)
-
-                    def per_entry(key):
-                        def per_restart(r):
-                            u = jax.random.uniform(
-                                jax.random.fold_in(key, r), (P, c_par),
-                                dtype=jnp.float32)
-                            u = log_acc_slots(u, n1r)
-                            if c_par < C_LANES:
-                                u = jnp.pad(
-                                    u, ((0, 0), (0, C_LANES - c_par)))
-                            return u
-                        return jax.vmap(per_restart)(
-                            jnp.arange(r_seq, dtype=jnp.uint32))
-
-                    u4 = jax.vmap(per_entry)(keys)  # [E, r, P, C]
-                    return (u4.reshape(E // G, G, r_seq, P, C_LANES)
-                            .transpose(0, 2, 3, 1, 4)
-                            .reshape(E // G, r_seq, P * G, C_LANES))
-
-                rng_in = jax.vmap(per_tag)(tags)  # [K, EG, r, PG, C]
-            S, M = kern(n2, qts.astype(jnp.int32), qtvs, qb2t, qb2d,
-                        types2, tab2p, dmat2, rng_in, tags, n1s)
+            qkey = (kern.qrep, G)
+            if qkey not in qb2s:
+                qb2s[qkey] = (make_qflat_batched(qtabps, qdmats)
+                              if kern.qrep == "qflat"
+                              else make_qb2_batched(qtabps, qdmats, G),
+                              jnp.tile(qts.astype(jnp.int32)[:, :, None],
+                                       (1, G, 1)))
+            (qb2t, qb2d), qtvs = qb2s[qkey]
+            call = _callK if mesh is None else _shardedK
+            S, M = call(kern, G, E, indices, n2, types2, tab2p, dmat2,
+                        seed, tags, n1s, qts, qtvs, qb2t, qb2d)
             out_s.append(S[..., 0].reshape(K, -1))  # [K, E]
             if lsoln:
                 out_m.append(M[..., 0].reshape(K, -1, n1r))
@@ -362,8 +437,9 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
                else jnp.int16)
         scores = jnp.concatenate(out_s, axis=1).astype(sdt)
         if not lsoln:
-            return scores, None
-        return scores, jnp.concatenate(out_m, axis=1).astype(mdt)
+            return scores
+        return _pack_out(scores,
+                         jnp.concatenate(out_m, axis=1).astype(mdt))
 
     return jax.jit(f)
 
@@ -415,11 +491,8 @@ def _log_tile_waste(K: int, tiles: list[int]) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _concat_k(ntiles: int):
-    def f(*parts):
-        scores = jnp.concatenate([p[0] for p in parts], axis=0)
-        if parts[0][1] is None:
-            return scores, None
-        return scores, jnp.concatenate([p[1] for p in parts], axis=0)
+    def f(*parts):  # packed (or score-only) per-tile arrays
+        return jnp.concatenate(parts, axis=0)
     return jax.jit(f)
 
 
@@ -484,33 +557,35 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
     for tile in tiles:  # jit specializes once per distinct tile length
         sl = slice(t0, t0 + tile)
         t0 += tile
-        if mesh is None:
-            # query grid axis: all `tile` queries in one pallas_call
-            # per chunk
-            fn = _make_db_fnK(tuple(shapes), n1r, tile, c_par, r_seq,
-                              lorder, params, interpret, rng_mode, lsoln)
-        else:
-            fn = _make_db_scan_fn2(tuple(shapes), n1r, c_par, r_seq,
-                                   lorder, params, interpret, rng_mode,
-                                   lsoln, mesh)
+        # query grid axis: all `tile` queries in one pallas_call per
+        # chunk — with or without a mesh (the sharded variant runs the
+        # SAME batched kernel SPMD on each device's entry slice)
+        fn = _make_db_fnK(tuple(shapes), n1r, tile, c_par, r_seq,
+                          lorder, params, interpret, rng_mode, lsoln,
+                          mesh)
         parts.append(fn(seed, jnp.asarray(tags[sl], jnp.int32),
                         jnp.asarray(n1s[sl], jnp.int32),
                         jnp.asarray(qts[sl]), jnp.asarray(qtabps[sl]),
                         jnp.asarray(qdmats[sl]), chunk_args))
     outs = parts[0] if len(parts) == 1 else _concat_k(len(parts))(*parts)
-    return (db, n1s[:K], n1r, chunk_meta, outs, K)
+    map16 = max(d for _e, d in shapes) > 128
+    s16 = n1r * (n1r - 1) > 127
+    return (db, n1s[:K], n1r, chunk_meta, outs, K, lsoln, map16, s16)
 
 
 def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Drain a multi-query handle: ONE D2H per output array, then ONE
-    vectorized scatter per chunk across the whole query axis (a
-    per-query scatter loop costs ~65 ms at 256 queries — 4% of the
-    batch — in small numpy ops)."""
+    """Drain a multi-query handle: ONE D2H for the whole batch (scores
+    and maps ride one packed int8 array — each drain costs a tunnel
+    round trip), then ONE vectorized scatter per chunk across the whole
+    query axis (a per-query scatter loop costs ~65 ms at 256 queries —
+    4% of the batch — in small numpy ops)."""
     from ..parallel.distributed import to_host
 
-    db, n1s, n1r, chunk_meta, (scores_k, maps_k), K = handle
-    sf_k = to_host(scores_k)
-    mf_k = None if maps_k is None else to_host(maps_k)
+    db, n1s, n1r, chunk_meta, outs, K, lsoln, map16, s16 = handle
+    if lsoln:
+        sf_k, mf_k = _unpack_out(to_host(outs), n1r, True, map16, s16)
+    else:
+        sf_k, mf_k = to_host(outs), None
     scores_all = np.zeros((K, db.nentries), np.int32)
     maps_all = None
     if mf_k is not None:
@@ -564,15 +639,20 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
                       interpret, rng_mode, lsoln, mesh)
     outs = fn(seed, query_tag, n1, jnp.asarray(qtypes),
               jnp.asarray(qtabp), jnp.asarray(qdmat), chunk_args)
-    return (db, n1, n1r, chunk_meta, outs)
+    map16 = max(d for _e, d in shapes) > 128
+    return (db, n1, n1r, chunk_meta, outs, lsoln, map16)
 
 
 def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
+    """Drain a single-query handle: scores and maps arrive in ONE
+    packed int8 transfer (each D2H costs a tunnel round trip)."""
     from ..parallel.distributed import to_host
 
-    db, n1, n1r, chunk_meta, (scores_flat, maps_flat) = handle
-    sf = to_host(scores_flat)
-    mf = None if maps_flat is None else to_host(maps_flat)
+    db, n1, n1r, chunk_meta, outs, lsoln, map16 = handle
+    if lsoln:
+        sf, mf = _unpack_out(to_host(outs), n1r, True, map16, True)
+    else:
+        sf, mf = to_host(outs), None
     scores = np.zeros((db.nentries,), np.int32)
     maps = np.full((db.nentries, n1), -1, np.int32)
     off = 0

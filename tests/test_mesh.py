@@ -78,3 +78,33 @@ def test_pallas_sharded_matches_unsharded_interpret():
                     query_tag=3, c_max=16, backend="xla")
     np.testing.assert_array_equal(s_shard, ref.scores)
     np.testing.assert_array_equal(m_shard, ref.ssemaps)
+
+
+def test_pallas_batched_multiquery_sharded_bitwise():
+    """The query-grid-axis batched kernel (_make_db_fnK) under
+    shard_map over the 8-device CPU mesh == its unsharded run, bitwise
+    (mixed exact orders, lsoln on) — the fastest kernel configuration
+    and the multi-chip path are the SAME code since round 4."""
+    from cuda_satabsearch_tpu.ops.pallas_search import (
+        assemble_db_pallas2_multi, dispatch_db_pallas2_multi)
+
+    rng = np.random.default_rng(23)
+    entries = [random_entry(rng, int(n), f"e{i:03d}")
+               for i, n in enumerate(rng.integers(4, 17, size=17))]
+    queries = [pack_query(random_entry(rng, int(n), f"q{i}"))
+               for i, n in enumerate((7, 5, 8))]
+    db = pack_database(entries, buckets=(16, 112))
+
+    kw = dict(maxstart=16, lorder=True, seed=7, query_tags=[4, 5, 6],
+              c_max=16, rng_mode="supplied", interpret=True, lsoln=True)
+    plain = assemble_db_pallas2_multi(
+        dispatch_db_pallas2_multi(queries, db, **kw))
+
+    mesh = make_mesh(jax.devices()[:8])
+    shard = assemble_db_pallas2_multi(
+        dispatch_db_pallas2_multi(queries, db, mesh=mesh, **kw))
+
+    for qi, q in enumerate(queries):
+        np.testing.assert_array_equal(shard[qi][0], plain[qi][0])
+        np.testing.assert_array_equal(shard[qi][1], plain[qi][1])
+        assert shard[qi][1].shape == (db.nentries, q.order)

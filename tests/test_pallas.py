@@ -196,7 +196,7 @@ def test_kernel_v2_query_batched():
     """nq > 1 query grid axis == sequential single calls, bitwise
     (supplied streams, interpret)."""
     from cuda_satabsearch_tpu.ops.pallas_sa2 import (
-        make_pallas2_bucket_search, make_qb2)
+        make_pallas2_bucket_search, make_qb2, make_qflat)
 
     rng = np.random.default_rng(31)
     entries = [random_entry(rng, int(n), f"e{i}")
@@ -228,7 +228,12 @@ def test_kernel_v2_query_batched():
     qargs, unis, singles = [], [], []
     for q in queries:
         qtypes, _qtv, qtabp, qdmat = prepare_query(q, n1r)
-        qb2t, qb2d = make_qb2(qtabp, qdmat, G)
+        # follow whatever query-rep the production default picked
+        # (dg -> lane-fused qflat vectors, else the qb2 MXU scatter)
+        if single.qrep == "qflat":
+            qb2t, qb2d = make_qflat(qtabp, qdmat)
+        else:
+            qb2t, qb2d = make_qb2(qtabp, qdmat, G)
         qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         uni = jnp.asarray(
             urng.random((EG, r_seq, PG, 128)).astype(np.float32))
@@ -366,3 +371,101 @@ def test_tile_plan_exact_and_waste_logged(capsys):
     # a hypothetical padding plan is logged to stderr, never silent
     assert _log_tile_waste(3, [4]) == 1
     assert "1 padded slot" in capsys.readouterr().err
+
+
+def test_kernel_dg_fetch_bitwise():
+    """"dg" (per-lane dynamic-gather fetch) == the MXU one-hot fetch,
+    bitwise on shared supplied streams, across widths and lorder."""
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        make_pallas2_bucket_search, make_qb2, make_qflat)
+
+    rng = np.random.default_rng(77)
+    n1, c_par, r_seq, E = 7, 16, 2, 4
+    n1r = round8(n1)
+    P = golden.uniforms_per_restart(n1)
+    for d2 in (16, 48, 112):
+        entries = [random_entry(rng, int(n), f"e{i}") for i, n in
+                   enumerate(rng.integers(max(4, d2 - 8), d2 + 1,
+                                          size=E))]
+        for e in entries:  # bf16-grid distances (pack-time contract)
+            e.dmat[...] = np.asarray(
+                jnp.asarray(e.dmat).astype(jnp.bfloat16), np.float32)
+        query = pack_query(random_entry(rng, n1, "q"))
+        types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+        tab2p = np.stack([pack_tab(tabhi[i], tablo[i])
+                          for i in range(E)])
+        qtypes, _qtv, qtabp, qdmat = prepare_query(query, n1r)
+        G = 2
+        uni = jnp.asarray(np.random.default_rng(5).random(
+            (E // G, r_seq, P * G, 128)).astype(np.float32))
+        t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
+        tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
+        dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
+        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
+        outs = {}
+        for lorder in (True, False):
+            for fetch in ("gdot", "dg"):
+                fn, Gk = make_pallas2_bucket_search(
+                    E, n1, d2, c_par, r_seq, lorder, interpret=True,
+                    rng_mode="supplied", lsoln=True, fetch=fetch,
+                    group=G)
+                assert Gk == G
+                assert fn.qrep == ("qflat" if fetch == "dg" else "qb2")
+                if fetch == "dg":
+                    qa, qb = make_qflat(qtabp, qdmat)
+                else:
+                    qa, qb = make_qb2(qtabp, qdmat, G)
+                s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes),
+                          qtv, qa, qb, t2flat, tpflat, dmflat, uni)
+                outs[(lorder, fetch)] = (np.asarray(s), np.asarray(m))
+            s_ref, m_ref = outs[(lorder, "gdot")]
+            s_dg, m_dg = outs[(lorder, "dg")]
+            np.testing.assert_array_equal(s_dg, s_ref, err_msg=str(d2))
+            np.testing.assert_array_equal(m_dg, m_ref, err_msg=str(d2))
+
+
+def test_kernel_dg_fetch_bitwise_two_planes():
+    """"dg" with a two-plane query fetch (n1r == 16) == the MXU
+    one-hot fetch, bitwise (the fused index spans 256 lanes: 2 gathers
+    + a plane select)."""
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        dg_planes, make_pallas2_bucket_search, make_qb2, make_qflat)
+
+    rng = np.random.default_rng(78)
+    n1, c_par, r_seq, E = 13, 16, 2, 4
+    n1r = round8(n1)
+    assert dg_planes(n1r) == 2
+    P = golden.uniforms_per_restart(n1)
+    for d2 in (16, 64):
+        entries = [random_entry(rng, int(n), f"e{i}") for i, n in
+                   enumerate(rng.integers(max(4, d2 - 8), d2 + 1,
+                                          size=E))]
+        for e in entries:
+            e.dmat[...] = np.asarray(
+                jnp.asarray(e.dmat).astype(jnp.bfloat16), np.float32)
+        query = pack_query(random_entry(rng, n1, "q"))
+        types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+        tab2p = np.stack([pack_tab(tabhi[i], tablo[i])
+                          for i in range(E)])
+        qtypes, _qtv, qtabp, qdmat = prepare_query(query, n1r)
+        G = 2
+        uni = jnp.asarray(np.random.default_rng(6).random(
+            (E // G, r_seq, P * G, 128)).astype(np.float32))
+        t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
+        tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
+        dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
+        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
+        outs = {}
+        for fetch in ("gdot", "dg"):
+            fn, Gk = make_pallas2_bucket_search(
+                E, n1, d2, c_par, r_seq, True, interpret=True,
+                rng_mode="supplied", lsoln=True, fetch=fetch, group=G)
+            qa, qb = (make_qflat(qtabp, qdmat) if fn.qrep == "qflat"
+                      else make_qb2(qtabp, qdmat, G))
+            s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv,
+                      qa, qb, t2flat, tpflat, dmflat, uni)
+            outs[fetch] = (np.asarray(s), np.asarray(m))
+        np.testing.assert_array_equal(outs["dg"][0], outs["gdot"][0],
+                                      err_msg=str(d2))
+        np.testing.assert_array_equal(outs["dg"][1], outs["gdot"][1],
+                                      err_msg=str(d2))
