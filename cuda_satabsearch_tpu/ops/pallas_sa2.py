@@ -82,8 +82,9 @@ TUNED_DG: dict[int, int] = {8: 16, 16: 8, 24: 8, 32: 8, 40: 8, 48: 8,
                             104: 4, 112: 4}
 
 # same for two-plane queries (12 <= n1 <= 16): the fused query index
-# spans 256 lanes, fetched as 2 gathers + a plane select
-TUNED_DG16: dict[int, int] = {}
+# spans 256 lanes, fetched as 2 gathers + a plane select; HW sweep
+# 2026-08-21: wins 1.02-1.12x at mid widths, loses at 16 and 112
+TUNED_DG16: dict[int, int] = {24: 8, 32: 8, 48: 8, 64: 4}
 
 
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
@@ -233,6 +234,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                fetch: str = "auto",
                                group: int | None = None,
                                cum: str = "auto",
+                               cumb: int | None = None,
                                nq: int = 1,
                                batched_api: bool = False,
                                knock: frozenset = frozenset()):
@@ -314,11 +316,15 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     # entries per fetch/cum MXU block: "bd" = all G in one block-
     # diagonal dot (quadratic in G), "gdot" = one entry per dot
     # (issue-bound at large G), "bd<k>" = k per block — the unified
-    # blocked form; B must divide G.  "dg" has no fetch blocks (the
-    # blocking then only shapes cum="mxu"'s tril dots, per entry).
+    # blocked form; B must divide G.  "dg" has no fetch blocks; the
+    # blocking then only shapes cum="mxu"'s tril dots (``cumb``
+    # entries per block-diagonal dot, default the ~256-row heuristic:
+    # fewer dot issues at small widths, bounded FLOPs at wide).
     if fetch == "bd":
         B = G
-    elif fetch in ("gdot", "dg"):
+    elif fetch == "dg":
+        B = min(G, cumb if cumb else max(1, 256 // d2))
+    elif fetch == "gdot":
         B = 1
     else:
         B = min(G, int(fetch[2:]))

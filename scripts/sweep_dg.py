@@ -22,7 +22,7 @@ import numpy as np
 WIDTHS = (8, 16, 24, 32, 40, 48, 56, 64, 72, 80, 88, 96, 104, 112)
 
 
-def bench_config(E, n1, d2, *, fetch, group, cum, r_seq, reps):
+def bench_config(E, n1, d2, *, fetch, group, cum, r_seq, reps, cumb=None):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,7 @@ def bench_config(E, n1, d2, *, fetch, group, cum, r_seq, reps):
 
     fn, G = make_pallas2_bucket_search(
         E, n1, d2, 128, r_seq, True, interpret=False, rng_mode="pltpu",
-        lsoln=False, fetch=fetch, group=group, cum=cum)
+        lsoln=False, fetch=fetch, group=group, cum=cum, cumb=cumb)
     if fn.qrep == "qflat":
         qa, qb = make_qflat(qtabp, qdmat)
     else:
