@@ -35,7 +35,8 @@ def profile_shape(E, n1, d2, *, r_seq, reps, maxiter=None, lorder=True):
 
     enable_compile_cache()
     from cuda_satabsearch_tpu.ops.pallas_sa2 import (
-        make_pallas2_bucket_search, make_qb2_batched)
+        make_pallas2_bucket_search, make_qb2_batched,
+        make_qflat_batched)
     from cuda_satabsearch_tpu.ops.common import round8
 
     params = DEFAULTS if maxiter is None else SAParams(maxiter=maxiter)
@@ -63,7 +64,10 @@ def profile_shape(E, n1, d2, *, r_seq, reps, maxiter=None, lorder=True):
             E, n1, d2, 128, r_seq, lorder, params, False, "pltpu",
             lsoln=False, nq=1, batched_api=True,
             knock=frozenset(knock))
-        qb2t, qb2d = make_qb2_batched(qtabp[None], qdmat[None], G)
+        if fn.qrep == "qflat":
+            qb2t, qb2d = make_qflat_batched(qtabp[None], qdmat[None])
+        else:
+            qb2t, qb2d = make_qb2_batched(qtabp[None], qdmat[None], G)
         qtv = jnp.tile(jnp.asarray(qtypes)[:, :, None], (1, G, 1))
         args = [jnp.asarray(x) for x in
                 (n2, qtypes, qtv, qb2t, qb2d, types2, tab2p, dmat2,
