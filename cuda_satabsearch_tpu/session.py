@@ -47,11 +47,6 @@ class SearchSession:
         enable_compile_cache()  # persist compiled kernels across runs
         self.config = config or SessionConfig()
         self.dbfile = dbfile
-        # absorb the per-process remote-compile session init with a
-        # one-op kernel so the real search programs compile at their
-        # normal ~1-5 s cost (core/warmup.py; no-op on CPU/local TPU)
-        self.warmup_s = (warm_backend()
-                         if self.config.backend != "xla" else 0.0)
 
         self.sharding = None
         pad_to = 1
@@ -81,6 +76,13 @@ class SearchSession:
                     read_database(dbfile, maxdim=self.config.maxdim),
                     self.config.buckets, pad_to=pad_to)
         self.load_ms = (time.perf_counter() - t0) * 1000.0
+
+        # absorb the per-process remote-compile session init with a
+        # one-op kernel so the real search programs compile at their
+        # normal ~1-5 s cost (core/warmup.py; no-op on CPU/local TPU).
+        # AFTER the DB load: a missing/corrupt dbfile must fail fast,
+        # not after a ~2 min device warm-up.
+        self.warmup_s = warm_backend()
 
         t0 = time.perf_counter()
         self.device_db = upload_db(self.db, sharding=self.sharding,

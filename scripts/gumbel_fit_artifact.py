@@ -5,7 +5,7 @@ The reference's z/p statistics hard-code (a, b) = (0.3780327676087335,
 0.3582596175507505), an MLE fit of norm2 null scores at 4096 restarts
 (/root/reference/nvcc_src_current/gumbelstats.h:21-23, fit by
 scripts/fitgumbeldist.r over query200 .slrtab files).  This script
-reproduces the methodology on the bundled data: the 9 multiquery.input
+reproduces the methodology on the bundled data: the 3 multiquery.input
 queries at r=4096 against the 586-entry small DB, norm2 scores with the
 top hits per query dropped (null-dominated sample), MLE fit via
 eval/gumbelfit.py (same estimator fitgumbeldist.r uses), written to
@@ -85,7 +85,7 @@ def main():
     with open(out, "w") as fh:
         fh.write(
             "# Gumbel fit on this framework's score distributions\n\n"
-            f"9 multiquery.input queries, r={args.restarts}, 586-entry "
+            f"3 multiquery.input queries (8/13/101 SSEs), r={args.restarts}, 586-entry "
             "small DB, norm2 scores,\n"
             f"top-{args.drop_top}+self dropped per query (null sample); "
             "MLE fit = eval/gumbelfit.py\n"

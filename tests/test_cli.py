@@ -185,3 +185,18 @@ def test_worked_example_ranking(monkeypatch, capsys):
     ranked = sorted(b["results"], key=lambda r: -int(r[1]))
     top3 = [r[0] for r in ranked[:3]]
     assert set(top3) == {"d1c3ta_", "d2faza1", "d1uela_"}
+
+
+def test_missing_dbfile_errors_fast(monkeypatch, capsys):
+    """A nonexistent DB path (e.g. the bundled 2qp2-1.input probe,
+    whose dbfile line points at the reference author's home dir) must
+    produce an ERROR line and exit 1 — BEFORE any device warm-up (the
+    session orders load -> warm -> upload for exactly this reason)."""
+    import time
+
+    t0 = time.time()
+    rc, out, err = run_cli(["-c"], read_fixture("2qp2-1.input"),
+                           monkeypatch, capsys)
+    assert rc == 1
+    assert "ERROR" in err
+    assert time.time() - t0 < 30  # fail fast, no warm-up spent
