@@ -1,10 +1,11 @@
 """Re-emit entries in the ASCII database format.
 
 Byte-compatible with the format produced by the reference toolchain
-(scripts/convdb2.py / pytableaucreate.py) and consumed by
-parsetableaux.c: header ``%-8s %4d``, tableau lower triangle with
-2-char codes at 3-char stride, distance matrix lower triangle in
-``%6.3f`` at 7-char stride, diagonal carrying SSE types.
+(scripts/convdb2.py:214-226 / pytableaucreate.py) and consumed by
+parsetableaux.c: header ``%6s %4d`` (name right-justified — convdb2's
+exact format), tableau lower triangle with 2-char codes at 3-char
+stride, distance matrix lower triangle in ``%6.3f`` at 7-char stride,
+diagonal carrying SSE types.
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ from ..core import codes
 
 
 def format_entry(e: TableauEntry) -> str:
-    lines = [f"{e.name:<8s} {e.order:>4d}"]
+    lines = [f"{e.name:>6s} {e.order:>4d}"]
     for i in range(e.order):
         cells = []
         for j in range(i + 1):

@@ -83,7 +83,9 @@ TUNED_DG: dict[int, int] = {8: 16, 16: 8, 24: 8, 32: 8, 40: 8, 48: 8,
 
 # same for two-plane queries (12 <= n1 <= 16): the fused query index
 # spans 256 lanes, fetched as 2 gathers + a plane select; HW sweep
-# 2026-08-21: wins 1.02-1.12x at mid widths, loses at 16 and 112
+# 2026-08-21: wins 1.02-1.12x at mid widths, loses at 16 and 112.
+# Beyond two planes dg LOSES outright (n1=19 -> 5 planes measured
+# 0.59-0.80x of the MXU path at every width) — adoption stops here.
 TUNED_DG16: dict[int, int] = {24: 8, 32: 8, 48: 8, 64: 4}
 
 

@@ -104,18 +104,20 @@ def main():
                           f"{type(e).__name__}", flush=True)
                     continue
                 mark = ""
-                if v > best_dg.get(d2, (0, None, None))[0]:
-                    best_dg[d2] = (v, g, cum)
+                if v > best_dg.get(d2, (0, None, None, False))[0]:
+                    best_dg[d2] = (v, g, cum, v > base)
                     mark = " *"
                 print(f"   dg G={g:2d} cum={cum:4s}: {v:7.1f} M it/s "
                       f"({v / base:4.2f}x){mark}", flush=True)
         if d2 in best_dg:
-            v, g, cum = best_dg[d2]
+            v, g, cum, _won = best_dg[d2]
             print(f"   => best dg: G={g} cum={cum} {v:.1f} "
                   f"({v / base:.2f}x of auto)", flush=True)
 
-    print("\nTUNED_DG candidates (width: group where dg wins):")
-    print({d2: g for d2, (v, g, c) in sorted(best_dg.items())})
+    print("\nTUNED_DG candidates (width: group, ONLY where dg beat "
+          "auto):")
+    print({d2: g for d2, (v, g, c, won) in sorted(best_dg.items())
+           if won})
 
 
 if __name__ == "__main__":

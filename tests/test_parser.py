@@ -121,3 +121,47 @@ def test_pack_query():
     q = pack_query(e)
     assert q.order == 9
     np.testing.assert_array_equal(q.types, e.types)
+
+
+def test_standalone_ascii_fixtures_roundtrip():
+    """The bundled standalone reference entries (d1qlpa_/d1qwra_/
+    d2pq6a1.ascii) parse and re-emit byte-identically (the format
+    contract, parsetableaux.c:14-33 / README.md:88-201)."""
+    import os
+
+    from cuda_satabsearch_tpu.io.parser import read_database
+    from cuda_satabsearch_tpu.io.writer import format_entry
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    for name in ("d1qlpa_.ascii", "d2pq6a1.ascii"):
+        path = os.path.join(fixtures, name)
+        with open(path) as fh:
+            original = fh.read()
+        entries = read_database(path)
+        assert len(entries) == 1
+        # d2pq6a1.ascii carries a trailing entry-separator blank line
+        # (valid: entries in a DB stream are blank-line separated)
+        assert (format_entry(entries[0]).rstrip("\n")
+                == original.rstrip("\n")), name
+
+    # d1qwra_.ascii ships TRUNCATED in the reference repo (52 lines;
+    # order 27 needs 1 + 27 + 27): the parser must fail cleanly, not
+    # produce a silent partial entry
+    with pytest.raises(ValueError, match="EOF inside"):
+        read_database(os.path.join(fixtures, "d1qwra_.ascii"))
+
+
+def test_whole_db_byte_roundtrip():
+    """format_database(read_database(small.ascii)) reproduces the
+    586-entry reference DB byte-for-byte."""
+    import os
+
+    from cuda_satabsearch_tpu.io.parser import read_database
+    from cuda_satabsearch_tpu.io.writer import format_database
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "tableauxdistmatrixdb.small.ascii")
+    with open(path) as fh:
+        original = fh.read()
+    out = format_database(read_database(path))
+    assert out == original
