@@ -615,14 +615,18 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             g_q = jnp.concatenate([qb2t_ref[...], qb2d_ref[...]], axis=0)
             g_all = bd_all[...]  # [2DQ, BD] bf16
 
-        def fetch_db(jcol):
+        def fetch_db(jcol, jcol_d=None):
             """"dg": (codes [DQ, C], dists [DQ, C]) at column jcol
             ([G, C], may be -1: clamped, callers gate) of each entry's
-            tableau/distance rows — two per-lane dynamic gathers."""
+            tableau/distance rows — two per-lane dynamic gathers.
+            ``jcol_d``: optional pre-broadcast [DQ, C] copy of jcol
+            (callers that already materialized rep_d(jcol) pass it to
+            skip a second broadcast)."""
             if "fetch" in knock:  # profiling stand-in
                 f = jcol.astype(F32)
                 return rep_d(f), rep_d(f * 2.0)
-            idx = rep_d(jnp.maximum(jcol, 0))
+            idx = jnp.maximum(rep_d(jcol) if jcol_d is None else jcol_d,
+                              0)
             return (jnp.take_along_axis(dbc_s[...], idx, axis=1),
                     jnp.take_along_axis(dbd_s[...], idx, axis=1))
 
@@ -809,13 +813,16 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
 
             oldd = rep_d(oldj)
             newd = rep_d(newj)
+            sseid = rep_d(ssei)
             if dg:
                 # db values at columns oldj/newj and the query value of
                 # pair (revmap[l], ssei): five per-lane dynamic gathers
                 # replace the one-hot MXU fetch + revmap select loop
-                rt_o, rd_o = fetch_db(oldj)
-                rt_n, rd_n = fetch_db(newj)
-                codeq, qs_d = fetch_q(rmap_v, rep_d(ssei))
+                # (index broadcasts reuse the oldd/newd planes computed
+                # for the gating masks below)
+                rt_o, rd_o = fetch_db(oldj, oldd)
+                rt_n, rd_n = fetch_db(newj, newd)
+                codeq, qs_d = fetch_q(rmap_v, sseid)
             else:
                 # db-side rows for old and new: tableau AND distance
                 # columns for BOTH in ONE stacked dot
@@ -838,7 +845,6 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             qhi = jnp.floor(codeq * 0.125)
             qlo = codeq - qhi * 8.0
 
-            sseid = rep_d(ssei)
             mb = (rmap_v >= 0) & (rmap_v != sseid)
             t_o = (mb & (oldd >= 0)
                    & (jnp.abs(qs_d - rd_o) <= p.mxssed))

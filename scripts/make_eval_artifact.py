@@ -55,17 +55,28 @@ def build_gold(path: str, frac: float = 0.05) -> list[str]:
 
 
 def run_cli(outpath: str, restarts: int, backend_args: list[str]) -> float:
+    """Run the real CLI; returns the CLI-reported SEARCH time (its
+    'search time N ms' stderr line — dispatch+device+drain for the
+    whole pipelined stream).  Process wall time would instead be
+    dominated by the per-process remote-compile session init
+    (~60-320 s environment cost, see PERF.md), identical for every
+    backend and meaningless as a comparison axis."""
+    import re
+
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.perf_counter()
     with open(os.path.join(FIX, "multiquery.input")) as fin, \
             open(outpath, "w") as fout:
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, "-m", "cuda_satabsearch_tpu",
              "-r", str(restarts)] + backend_args,
-            stdin=fin, stdout=fout, stderr=subprocess.DEVNULL,
+            stdin=fin, stdout=fout, stderr=subprocess.PIPE,
             cwd=FIX, env=env, check=True)
-    return time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    m = re.search(r"search time ([\d.]+) ms",
+                  proc.stderr.decode(errors="replace"))
+    return float(m.group(1)) / 1e3 if m else wall
 
 
 def main():
