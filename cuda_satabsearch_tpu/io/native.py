@@ -75,6 +75,12 @@ def load_library():
         ctypes.c_int64, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+    lib.satab_format_entry.restype = ctypes.c_void_p  # malloc'd text
+    lib.satab_format_entry.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.satab_free_text.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -187,3 +193,28 @@ def score_stats_native(scores, orders, qn: int, a: float, b: float,
         n2.ctypes.data_as(pf64), z.ctypes.data_as(pf64),
         p.ctypes.data_as(pf64))
     return n2, z, p
+
+
+def format_entry_native(entry) -> str:
+    """ASCII emission via the C++ twin of io/writer.format_entry
+    (convdb2.py:214-226 format) — byte-identical to the Python writer;
+    the fast path for bulk DB exports."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    n = entry.order
+    tabhi = np.ascontiguousarray(entry.tabhi[:n, :n], np.int8)
+    tablo = np.ascontiguousarray(entry.tablo[:n, :n], np.int8)
+    types = np.ascontiguousarray(entry.types[:n], np.int8)
+    dmat = np.ascontiguousarray(entry.dmat[:n, :n], np.float32)
+    pi8 = ctypes.POINTER(ctypes.c_int8)
+    ptr = lib.satab_format_entry(
+        entry.name.encode(), n, tabhi.ctypes.data_as(pi8),
+        tablo.ctypes.data_as(pi8), types.ctypes.data_as(pi8),
+        dmat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if not ptr:
+        raise ValueError(f"{entry.name}: unencodable entry")
+    try:
+        return ctypes.string_at(ptr).decode()
+    finally:
+        lib.satab_free_text(ptr)

@@ -312,6 +312,56 @@ const char* satab_bucket_names(void* h, int b) {
 int satab_label_size() { return kLabelSize; }
 void satab_free(void* h) { delete static_cast<Db*>(h); }
 
+// ---- ASCII emission (native twin of io/writer.py == convdb2.py
+// :214-226: header '%6s %4d', lower-triangle 2-char codes at 3-char
+// stride, lower-triangle '%6.3f ' distances, diagonals carrying SSE
+// types) --------------------------------------------------------------
+char* satab_format_entry(const char* name, int order,
+                         const int8_t* tabhi, const int8_t* tablo,
+                         const int8_t* types, const float* dmat) {
+  static const char kHi[] = {'P', 'R', 'O', 'L', '?'};
+  static const char kLo[] = {'E', 'D', 'S', 'T', '?'};
+  static const char* kType[] = {"e ", "xa", "xi", "xg"};
+  const int n = order;
+  std::string out;
+  out.reserve(static_cast<size_t>(16 + n * n * 5 + 4 * n));
+  char buf[64];
+  std::snprintf(buf, sizeof(buf), "%6s %4d\n", name, n);
+  out += buf;
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      if (i == j) {
+        int t = types[i];
+        if (t < 0 || t > 3) return nullptr;
+        out += kType[t];
+        out += ' ';
+      } else {
+        int hi = tabhi[i * n + j], lo = tablo[i * n + j];
+        if (hi < 0 || hi > 4 || lo < 0 || lo > 4) return nullptr;
+        out += kHi[hi];
+        out += kLo[lo];
+        out += ' ';
+      }
+    }
+    out += '\n';
+  }
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double d = (i == j) ? static_cast<double>(types[i])
+                          : static_cast<double>(dmat[i * n + j]);
+      std::snprintf(buf, sizeof(buf), "%6.3f ", d);
+      out += buf;
+    }
+    out += '\n';
+  }
+  char* ret = static_cast<char*>(std::malloc(out.size() + 1));
+  if (!ret) return nullptr;
+  std::memcpy(ret, out.c_str(), out.size() + 1);
+  return ret;
+}
+
+void satab_free_text(char* p) { std::free(p); }
+
 // ---- score statistics (native twin of gumbelstats.c:50-94) ----------
 static const double kEulerGamma = 0.5772156649015328606;
 static const double kPiOverSqrt6 = 1.2825498301618640955;

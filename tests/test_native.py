@@ -68,3 +68,28 @@ def test_native_score_stats_matches_python():
         np.testing.assert_allclose(zn, zp, rtol=1e-12)
         # p-values near 0 amplify constant-rounding noise; atol covers it
         np.testing.assert_allclose(pn, pp, rtol=1e-9, atol=1e-15)
+
+
+def test_native_writer_matches_python_writer():
+    """C++ ASCII emission == io/writer.format_entry byte-for-byte on
+    the reference fixtures and random entries."""
+    import numpy as np
+
+    from conftest import random_entry
+    from cuda_satabsearch_tpu.io import native
+    from cuda_satabsearch_tpu.io.parser import read_database
+    from cuda_satabsearch_tpu.io.writer import format_entry
+
+    if not native.available():
+        pytest.skip("native library not built")
+    import os
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    entries = read_database(
+        os.path.join(fixtures, "tableauxdistmatrixdb.small.ascii"))[:40]
+    entries += read_database(os.path.join(fixtures, "d1qlpa_.ascii"))
+    rng = np.random.default_rng(5)
+    entries += [random_entry(rng, int(n), f"syn{n}")
+                for n in rng.integers(2, 60, size=8)]
+    for e in entries:
+        assert native.format_entry_native(e) == format_entry(e), e.name
