@@ -151,17 +151,18 @@ def _db_names(dbfile: str) -> list[str]:
             parts = line.split()
             if len(parts) != 2:
                 continue
-            # a header is "name order": second token an int, first NOT
-            # numeric (distance rows are float pairs; identifying by
-            # "first char is a digit" would drop raw-PDB names like
-            # '1ubq')
+            # a header is "name order": second token an int.  Distance
+            # rows can never collide (they are %6.3f pairs — the second
+            # token always carries a decimal point, so int() rejects
+            # it); the only guard needed on the NAME is excluding a
+            # literal float (a '.'), NOT float()-parseability — names
+            # like '1e50' or '2e28' are real PDB ids that float() would
+            # wrongly swallow
             try:
                 int(parts[1])
             except ValueError:
                 continue
-            try:
-                float(parts[0])
-            except ValueError:
+            if "." not in parts[0]:
                 names.append(parts[0])
     return names
 

@@ -48,52 +48,65 @@ MAX_GROUP = 16  # pallas_sa2.choose_group upper bound; chunk sizes must
 # be multiples of it so any group size divides them
 
 
-def _i16_bytes(x):
-    """[..., N] int16 -> [..., N, 2] int8 (lo, hi) — arithmetic split,
-    endianness-free, exact for the full int16 range.  Lets scores and
-    maps leave the device in ONE packed int8 transfer: each D2H drain
-    costs a full tunnel round trip (~25 ms), so two sequential drains
-    double the warm per-query latency."""
-    lo = (x & 255).astype(jnp.int8)
-    hi = (x >> 8).astype(jnp.int8)
-    return jnp.stack([lo, hi], axis=-1)
+def _int_bytes(x, nbytes: int):
+    """[..., N] int -> [..., N, nbytes] int8 (little-endian-style
+    arithmetic split, endianness-free, exact).  Lets scores and maps
+    leave the device in ONE packed int8 transfer: each D2H drain costs
+    a full tunnel round trip (~25 ms), so two sequential drains double
+    the warm per-query latency."""
+    return jnp.stack([((x >> (8 * b)) & 255).astype(jnp.int8)
+                      for b in range(nbytes)], axis=-1)
 
 
-def _i16_unbytes(p):
-    """numpy [..., 2] int8 (lo, hi) -> [...] int16."""
-    return ((p[..., 1].astype(np.int16) << 8)
-            | (p[..., 0].astype(np.int16) & 0xFF))
+def _int_unbytes(p, dtype):
+    """numpy [..., nbytes] int8 -> [...] dtype (sign from the top
+    byte's arithmetic shift)."""
+    nb = p.shape[-1]
+    out = p[..., nb - 1].astype(dtype)
+    for b in range(nb - 2, -1, -1):
+        out = (out << 8) | (p[..., b].astype(dtype) & 0xFF)
+    return out
 
 
 def _pack_out(scores, maps):
-    """(int8/int16 scores [..., N], int8/int16 maps [..., N, n1r] or
-    None) -> ONE int8 array [..., N, W]; layout: the score byte(s)
-    then the map bytes (int16 planes byte-split lo, hi)."""
-    parts = [scores[..., None] if scores.dtype == jnp.int8
-             else _i16_bytes(scores)]
+    """(int scores [..., N], int maps [..., N, n1r] or None) -> ONE
+    int8 array [..., N, W]; layout: the score byte(s) then the map
+    bytes (multi-byte planes arithmetic-split low byte first)."""
+    sb = scores.dtype.itemsize
+    parts = [scores[..., None] if sb == 1 else _int_bytes(scores, sb)]
     if maps is not None:
-        if maps.dtype == jnp.int16:
-            parts.append(_i16_bytes(maps).reshape(
-                maps.shape[:-1] + (2 * maps.shape[-1],)))
-        else:
-            parts.append(maps)
+        mb = maps.dtype.itemsize
+        parts.append(maps if mb == 1 else _int_bytes(maps, mb).reshape(
+            maps.shape[:-1] + (mb * maps.shape[-1],)))
     return jnp.concatenate(parts, axis=-1)
 
 
-def _unpack_out(packed, n1r, lsoln, map16, s16):
+def _unpack_out(packed, n1r, lsoln, map_bytes, score_bytes):
     """Host-side inverse of _pack_out on the drained numpy array."""
-    sb = 2 if s16 else 1
-    scores = (_i16_unbytes(packed[..., :2]) if s16
-              else packed[..., 0].astype(np.int32))
+    scores = (packed[..., 0].astype(np.int32) if score_bytes == 1
+              else _int_unbytes(packed[..., :score_bytes], np.int32))
     if not lsoln:
         return scores, None
-    mb = packed[..., sb:]
-    if map16:
-        maps = _i16_unbytes(
-            mb.reshape(mb.shape[:-1] + (n1r, 2)))
+    mb = packed[..., score_bytes:]
+    if map_bytes > 1:
+        maps = _int_unbytes(
+            mb.reshape(mb.shape[:-1] + (n1r, map_bytes)), np.int32)
     else:
         maps = mb.astype(np.int32)
     return scores, maps
+
+
+def _score_dtype(n1r: int):
+    """Narrowest score dtype: |score| <= n1*(n1-1) <= n1r*(n1r-1)."""
+    m = n1r * (n1r - 1)
+    return (jnp.int8 if m <= 127
+            else jnp.int16 if m <= 32767 else jnp.int32)
+
+
+def _map_dtype(chunk_shapes):
+    """Narrowest map dtype: values in [-1, d2-1]."""
+    return (jnp.int8 if max(d for _e, d in chunk_shapes) <= 128
+            else jnp.int16)
 
 
 def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
@@ -284,21 +297,17 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
         # concatenate on device: the drain must be ONE transfer per
         # output, not one per chunk (each D2H costs a full round trip
         # through remote-TPU tunnels).  Narrow dtypes halve/quarter the
-        # transfer (~15 MB/s through the tunnel): |score| <= 2*C(111,2)
-        # = 12210 fits int16; map values in [-1, d2-1] fit int8 only
-        # while every bucket dim <= 128 (true at the default MAXDIM=111
-        # but SessionConfig.maxdim is configurable — derive, don't
-        # assume, or a raised cap would silently wrap the D2H cast).
-        mdt = (jnp.int8 if max(d for _e, d in chunk_shapes) <= 128
-               else jnp.int16)
+        # transfer (~15 MB/s through the tunnel); both dtypes are
+        # DERIVED from the configured dims (SessionConfig.maxdim is
+        # configurable — a hard-coded cast would silently wrap).
         scores_flat = jnp.concatenate(
             [S[:, :, 0].reshape(-1) for (S, _M), _G in outs]).astype(
-                jnp.int16)
+                _score_dtype(n1r))
         if not lsoln:
             return scores_flat
         maps_flat = jnp.concatenate(
             [M[:, :, 0].reshape(-1, n1r) for (_S, M), _G in outs]).astype(
-                mdt)
+                _map_dtype(chunk_shapes))
         # ONE packed int8 output: scores + maps drain in a single D2H
         return _pack_out(scores_flat, maps_flat)
 
@@ -429,17 +438,13 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
             out_s.append(S[..., 0].reshape(K, -1))  # [K, E]
             if lsoln:
                 out_m.append(M[..., 0].reshape(K, -1, n1r))
-        # narrow drains: see _make_db_fn2; |score| <= n1*(n1-1) fits
-        # int8 for n1r <= 11 (the dominant small-query case); map
-        # dtype derived from the widest bucket dim (values <= d2-1)
-        sdt = jnp.int8 if n1r * (n1r - 1) <= 127 else jnp.int16
-        mdt = (jnp.int8 if max(d for _e, d in chunk_shapes) <= 128
-               else jnp.int16)
-        scores = jnp.concatenate(out_s, axis=1).astype(sdt)
+        # narrow drains: see _make_db_fn2; both dtypes derived from
+        # the configured dims (never assumption-cast)
+        scores = jnp.concatenate(out_s, axis=1).astype(_score_dtype(n1r))
         if not lsoln:
             return scores
-        return _pack_out(scores,
-                         jnp.concatenate(out_m, axis=1).astype(mdt))
+        return _pack_out(scores, jnp.concatenate(out_m, axis=1).astype(
+            _map_dtype(chunk_shapes)))
 
     return jax.jit(f)
 
@@ -505,13 +510,13 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
                               lsoln: bool = False, mesh=None):
     """Dispatch K queries of the same round8(order) bucket — any MIX of
     exact orders — as a pipeline of power-of-two scan tiles (up to
-    K_TILE queries per device program; a short tail is padded to the
-    next power of two by replicating the last query under throwaway
-    tags).  Tile outputs are concatenated on device; the handle drains
-    with assemble_db_pallas2_multi in a single D2H transfer.  Under the
-    n1r RNG slot schedule each query's stream is identical to what
-    per-query dispatch would use, so batched == sequential bitwise.
-    """
+    K_TILE queries per device program; the tile plan covers K exactly,
+    no padded query slots — _log_tile_waste guards that invariant
+    loudly).  Tile outputs are concatenated on device; the handle
+    drains with assemble_db_pallas2_multi in a single D2H transfer.
+    Under the n1r RNG slot schedule each query's stream is identical to
+    what per-query dispatch would use, so batched == sequential
+    bitwise."""
     n1r = round8(queries[0].order)
     assert all(round8(q.order) == n1r for q in queries)
     c_par, r_seq = choose_chains(maxstart, min(c_max, C_LANES))
@@ -520,10 +525,8 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
     tags = list(query_tags)
     assert len(tags) == K
     tiles = _tile_plan(K)
-    pad = _log_tile_waste(K, tiles)
-    queries = list(queries) + [queries[-1]] * pad
-    maxtag = max(tags)
-    tags = tags + [maxtag + 1 + i for i in range(pad)]
+    assert _log_tile_waste(K, tiles) == 0, (K, tiles)
+    queries = list(queries)
     n1s = [q.order for q in queries]
 
     qts, qtabps, qdmats = [], [], []
@@ -568,9 +571,9 @@ def dispatch_db_pallas2_multi(queries, db, *, maxstart: int, lorder: bool,
                         jnp.asarray(qts[sl]), jnp.asarray(qtabps[sl]),
                         jnp.asarray(qdmats[sl]), chunk_args))
     outs = parts[0] if len(parts) == 1 else _concat_k(len(parts))(*parts)
-    map16 = max(d for _e, d in shapes) > 128
-    s16 = n1r * (n1r - 1) > 127
-    return (db, n1s[:K], n1r, chunk_meta, outs, K, lsoln, map16, s16)
+    mbytes = jnp.dtype(_map_dtype(shapes)).itemsize
+    sbytes = jnp.dtype(_score_dtype(n1r)).itemsize
+    return (db, n1s[:K], n1r, chunk_meta, outs, K, lsoln, mbytes, sbytes)
 
 
 def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -581,9 +584,10 @@ def assemble_db_pallas2_multi(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     4% of the batch — in small numpy ops)."""
     from ..parallel.distributed import to_host
 
-    db, n1s, n1r, chunk_meta, outs, K, lsoln, map16, s16 = handle
+    db, n1s, n1r, chunk_meta, outs, K, lsoln, mbytes, sbytes = handle
     if lsoln:
-        sf_k, mf_k = _unpack_out(to_host(outs), n1r, True, map16, s16)
+        sf_k, mf_k = _unpack_out(to_host(outs), n1r, True, mbytes,
+                                 sbytes)
     else:
         sf_k, mf_k = to_host(outs), None
     scores_all = np.zeros((K, db.nentries), np.int32)
@@ -639,8 +643,9 @@ def dispatch_db_pallas2(query: PackedQuery, db, *, maxstart: int,
                       interpret, rng_mode, lsoln, mesh)
     outs = fn(seed, query_tag, n1, jnp.asarray(qtypes),
               jnp.asarray(qtabp), jnp.asarray(qdmat), chunk_args)
-    map16 = max(d for _e, d in shapes) > 128
-    return (db, n1, n1r, chunk_meta, outs, lsoln, map16)
+    mbytes = jnp.dtype(_map_dtype(shapes)).itemsize
+    sbytes = jnp.dtype(_score_dtype(n1r)).itemsize
+    return (db, n1, n1r, chunk_meta, outs, lsoln, mbytes, sbytes)
 
 
 def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
@@ -648,9 +653,9 @@ def assemble_db_pallas2(handle) -> tuple[np.ndarray, np.ndarray]:
     packed int8 transfer (each D2H costs a tunnel round trip)."""
     from ..parallel.distributed import to_host
 
-    db, n1, n1r, chunk_meta, outs, lsoln, map16 = handle
+    db, n1, n1r, chunk_meta, outs, lsoln, mbytes, sbytes = handle
     if lsoln:
-        sf, mf = _unpack_out(to_host(outs), n1r, True, map16, True)
+        sf, mf = _unpack_out(to_host(outs), n1r, True, mbytes, sbytes)
     else:
         sf, mf = to_host(outs), None
     scores = np.zeros((db.nentries,), np.int32)

@@ -326,8 +326,14 @@ char* satab_format_entry(const char* name, int order,
   std::string out;
   out.reserve(static_cast<size_t>(16 + n * n * 5 + 4 * n));
   char buf[64];
-  std::snprintf(buf, sizeof(buf), "%6s %4d\n", name, n);
-  out += buf;
+  // header '%6s %4d': size dynamically so arbitrarily long names
+  // emit in full (byte-identical to the Python writer), never
+  // truncated into buf
+  int hlen = std::snprintf(nullptr, 0, "%6s %4d\n", name, n);
+  if (hlen < 0) return nullptr;
+  std::vector<char> hbuf(static_cast<size_t>(hlen) + 1);
+  std::snprintf(hbuf.data(), hbuf.size(), "%6s %4d\n", name, n);
+  out.append(hbuf.data(), static_cast<size_t>(hlen));
   for (int i = 0; i < n; ++i) {
     for (int j = 0; j <= i; ++j) {
       if (i == j) {

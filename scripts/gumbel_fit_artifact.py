@@ -55,7 +55,6 @@ def main():
     results = sess.search_many(queries, lorder=True)
     print(f"# search: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
 
-    rows = []
     pooled = []
     per_query = []
     for q, res in zip(queries, results):
@@ -75,7 +74,6 @@ def main():
         a, b = fit_gumbel(null)
         per_query.append((q.name, q.order, a, b, null.size))
         pooled.append(null)
-        rows.extend(null.tolist())
 
     allnull = np.concatenate(pooled)
     a_all, b_all = fit_gumbel(allnull)

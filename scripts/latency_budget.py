@@ -68,11 +68,12 @@ def main():
     t_full = best(lambda i: assemble_db_pallas2(
         dispatch_db_pallas2(query, sess.db, query_tag=200 + i, **kw)))
 
-    # device-only upper bound: K pipelined queries, one drain
+    # device-only upper bound: K pipelined queries, one drain (same
+    # lsoln configuration as the single-query timings above)
     K = 64
-    sess.search_many([query] * K)  # warm the K-tile program
+    sess.search_many([query] * K, lsoln=args.lsoln)  # warm the K-tile
     t0 = time.perf_counter()
-    sess.search_many([query] * K)
+    sess.search_many([query] * K, lsoln=args.lsoln)
     t_dev = (time.perf_counter() - t0) / K * 1e3
 
     iters = sess.nentries * cfg.maxstart * cfg.params.maxiter

@@ -76,7 +76,13 @@ def run_cli(outpath: str, restarts: int, backend_args: list[str]) -> float:
     wall = time.perf_counter() - t0
     m = re.search(r"search time ([\d.]+) ms",
                   proc.stderr.decode(errors="replace"))
-    return float(m.group(1)) / 1e3 if m else wall
+    if not m:
+        print("WARNING: CLI 'search time' line not found; falling back "
+              f"to process wall time ({wall:.1f} s) which INCLUDES the "
+              "per-process compile-session init — rows are not "
+              "comparable", file=sys.stderr)
+        return wall
+    return float(m.group(1)) / 1e3
 
 
 def main():

@@ -192,11 +192,13 @@ def test_missing_dbfile_errors_fast(monkeypatch, capsys):
     whose dbfile line points at the reference author's home dir) must
     produce an ERROR line and exit 1 — BEFORE any device warm-up (the
     session orders load -> warm -> upload for exactly this reason)."""
-    import time
+    from cuda_satabsearch_tpu.core import warmup
 
-    t0 = time.time()
+    def boom():  # the ~2 min device warm-up must never be reached
+        raise AssertionError("warm_backend ran before the DB load")
+
+    monkeypatch.setattr(warmup, "warm_backend", boom)
     rc, out, err = run_cli(["-c"], read_fixture("2qp2-1.input"),
                            monkeypatch, capsys)
     assert rc == 1
     assert "ERROR" in err
-    assert time.time() - t0 < 30  # fail fast, no warm-up spent

@@ -469,3 +469,29 @@ def test_kernel_dg_fetch_bitwise_two_planes():
                                       err_msg=str(d2))
         np.testing.assert_array_equal(outs["dg"][1], outs["gdot"][1],
                                       err_msg=str(d2))
+
+
+def test_packed_drain_roundtrip_all_dtypes():
+    """_pack_out/_unpack_out round-trip exactly for every score/map
+    dtype combination the derivations can produce (int8/int16/int32
+    scores, int8/int16 maps), including negative values."""
+    from cuda_satabsearch_tpu.ops.pallas_search import (_pack_out,
+                                                        _unpack_out)
+
+    rng = np.random.default_rng(9)
+    n, n1r = 37, 8
+    for sdt, lim in ((jnp.int8, 127), (jnp.int16, 32767),
+                     (jnp.int32, 2**31 - 1)):
+        for mdt, mlim in ((jnp.int8, 127), (jnp.int16, 32767)):
+            scores = jnp.asarray(
+                rng.integers(-lim - 1, lim, size=n), sdt)
+            maps = jnp.asarray(
+                rng.integers(-1, mlim, size=(n, n1r)), mdt)
+            packed = np.asarray(_pack_out(scores, maps))
+            assert packed.dtype == np.int8
+            sb = jnp.dtype(sdt).itemsize
+            mb = jnp.dtype(mdt).itemsize
+            assert packed.shape == (n, sb + mb * n1r)
+            s, m = _unpack_out(packed, n1r, True, mb, sb)
+            np.testing.assert_array_equal(s, np.asarray(scores))
+            np.testing.assert_array_equal(m, np.asarray(maps))
