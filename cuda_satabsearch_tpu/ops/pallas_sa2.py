@@ -292,8 +292,16 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     auto_fetch = fetch == "auto"
     if auto_fetch:
         fetch = choose_fetch(d2, None, n1r)  # "dg" is group-free
-    dg = fetch == "dg"
+    dgs = fetch == "dgs"  # dg with the 6 per-move gathers STACKED
+    # into 2 (db old+new codes+dists in one [4DQ, C] gather, query
+    # code+dist in one [2DQ, C] gather) — fewer issues, same data.
+    # HW-measured NEUTRAL vs plain dg (within +-1% at every width:
+    # the gathers are data-bound, not issue-bound), so auto never
+    # selects it; kept as a tested variant for future chips where the
+    # issue/data balance may differ.
+    dg = fetch == "dg" or dgs
     NPL = dg_planes(n1r) if dg else 0  # query-fetch lane planes
+    assert not dgs or NPL == 1, (fetch, n1r)
     if group is None and dg:
         group = (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2)
     G = min(group if group is not None else choose_group(d2, n1r), E)
@@ -324,7 +332,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     # fewer dot issues at small widths, bounded FLOPs at wide).
     if fetch == "bd":
         B = G
-    elif fetch == "dg":
+    elif dg:
         B = min(G, cumb if cumb else max(1, 256 // d2))
     elif fetch == "gdot":
         B = 1
@@ -451,7 +459,12 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         bestmap = rest.pop(0) if lsoln else None
         qc_s = None
         bd_all = dbc_s = dbd_s = qfc_s = qfd_s = None
-        if dg:
+        dbcd_s = qfcd_s = None
+        if dgs:
+            # stacked planes: one gather serves old+new codes+dists
+            dbcd_s = rest.pop(0)  # [4DQ, C]: codes, dists, codes, dists
+            qfcd_s = rest.pop(0)  # [2DQ, C]: query codes, dists
+        elif dg:
             # padded per-lane value planes for the dynamic gathers
             dbc_s = rest.pop(0)  # [DQ, C] db packed codes (cols j)
             dbd_s = rest.pop(0)  # [DQ, C] db distances
@@ -556,17 +569,29 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 if cpad is not None:
                     t = jnp.concatenate([t, cpad], axis=1)
                     d = jnp.concatenate([d, cpad], axis=1)
-                dbc_s[...] = t
-                dbd_s[...] = d
+                if dgs:
+                    # [codes; dists; codes; dists] — ONE gather then
+                    # serves both the old and the new column
+                    for blk, v in ((0, t), (1, d), (2, t), (3, d)):
+                        dbcd_s[pl.ds(blk * DQ, DQ), :] = v
+                else:
+                    dbc_s[...] = t
+                    dbd_s[...] = d
 
             @pl.when(r == 0)
             def _():
-                for pp in range(NPL):
-                    rows = pl.ds(pp * DQ, DQ)
-                    qfc_s[rows, :] = jnp.broadcast_to(
-                        qb2t_ref[8 * pp:8 * pp + 1, :], (DQ, C))
-                    qfd_s[rows, :] = jnp.broadcast_to(
-                        qb2d_ref[8 * pp:8 * pp + 1, :], (DQ, C))
+                if dgs:
+                    qfcd_s[pl.ds(0, DQ), :] = jnp.broadcast_to(
+                        qb2t_ref[0:1, :], (DQ, C))
+                    qfcd_s[pl.ds(DQ, DQ), :] = jnp.broadcast_to(
+                        qb2d_ref[0:1, :], (DQ, C))
+                else:
+                    for pp in range(NPL):
+                        rows = pl.ds(pp * DQ, DQ)
+                        qfc_s[rows, :] = jnp.broadcast_to(
+                            qb2t_ref[8 * pp:8 * pp + 1, :], (DQ, C))
+                        qfd_s[rows, :] = jnp.broadcast_to(
+                            qb2d_ref[8 * pp:8 * pp + 1, :], (DQ, C))
 
         @pl.when(r == 0)
         def _():
@@ -618,17 +643,37 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         def fetch_db(jcol, jcol_d=None):
             """"dg": (codes [DQ, C], dists [DQ, C]) at column jcol
             ([G, C], may be -1: clamped, callers gate) of each entry's
-            tableau/distance rows — two per-lane dynamic gathers.
-            ``jcol_d``: optional pre-broadcast [DQ, C] copy of jcol
-            (callers that already materialized rep_d(jcol) pass it to
-            skip a second broadcast)."""
+            tableau/distance rows — two per-lane dynamic gathers (one
+            stacked [2DQ, C] gather under "dgs").  ``jcol_d``: optional
+            pre-broadcast [DQ, C] copy of jcol (callers that already
+            materialized rep_d(jcol) pass it to skip a second
+            broadcast)."""
             if "fetch" in knock:  # profiling stand-in
                 f = jcol.astype(F32)
                 return rep_d(f), rep_d(f * 2.0)
             idx = jnp.maximum(rep_d(jcol) if jcol_d is None else jcol_d,
                               0)
+            if dgs:
+                v = jnp.take_along_axis(
+                    dbcd_s[pl.ds(0, 2 * DQ), :],
+                    jnp.concatenate([idx, idx], axis=0), axis=1)
+                return v[0:DQ], v[DQ:2 * DQ]
             return (jnp.take_along_axis(dbc_s[...], idx, axis=1),
                     jnp.take_along_axis(dbd_s[...], idx, axis=1))
+
+        def fetch_db_pair(oldd_c, newd_c):
+            """"dgs": (codes_o, dists_o, codes_n, dists_n), all
+            [DQ, C], in ONE stacked [4DQ, C] gather (pre-broadcast
+            [DQ, C] column indices; -1 clamped, callers gate)."""
+            if "fetch" in knock:  # profiling stand-in
+                fo = oldd_c.astype(F32)
+                fn_ = newd_c.astype(F32)
+                return fo, fo * 2.0, fn_, fn_ * 2.0
+            idx4 = jnp.maximum(jnp.concatenate(
+                [oldd_c, oldd_c, newd_c, newd_c], axis=0), 0)
+            v = jnp.take_along_axis(dbcd_s[...], idx4, axis=1)
+            return (v[0:DQ], v[DQ:2 * DQ], v[2 * DQ:3 * DQ],
+                    v[3 * DQ:4 * DQ])
 
         def fetch_q(rmap_v, sseid):
             """"dg": query (codes, dists) of pair (revmap[l], ssei) per
@@ -641,6 +686,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 f = sseid.astype(F32)
                 return f, f * 2.0
             idx = jnp.maximum(rmap_v, 0) * n1r + sseid
+            if dgs:
+                v = jnp.take_along_axis(
+                    qfcd_s[...], jnp.concatenate([idx, idx], axis=0),
+                    axis=1)
+                return v[0:DQ], v[DQ:2 * DQ]
             if NPL == 1:
                 return (jnp.take_along_axis(qfc_s[...], idx, axis=1),
                         jnp.take_along_axis(qfd_s[...], idx, axis=1))
@@ -820,8 +870,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 # replace the one-hot MXU fetch + revmap select loop
                 # (index broadcasts reuse the oldd/newd planes computed
                 # for the gating masks below)
-                rt_o, rd_o = fetch_db(oldj, oldd)
-                rt_n, rd_n = fetch_db(newj, newd)
+                if dgs:
+                    rt_o, rd_o, rt_n, rd_n = fetch_db_pair(oldd, newd)
+                else:
+                    rt_o, rd_o = fetch_db(oldj, oldd)
+                    rt_n, rd_n = fetch_db(newj, newd)
                 codeq, qs_d = fetch_q(rmap_v, sseid)
             else:
                 # db-side rows for old and new: tableau AND distance
@@ -959,7 +1012,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     ]
     if lsoln:
         scratch.append(pltpu.VMEM((NQ, C), jnp.int32))  # bestmap
-    if dg:
+    if dgs:
+        scratch.append(pltpu.VMEM((4 * DQ, C), jnp.float32))  # dbcd_s
+        scratch.append(pltpu.VMEM((2 * DQ, C), jnp.float32))  # qfcd_s
+    elif dg:
         scratch.append(pltpu.VMEM((DQ, C), jnp.float32))  # dbc_s
         scratch.append(pltpu.VMEM((DQ, C), jnp.float32))  # dbd_s
         scratch.append(pltpu.VMEM((NPL * DQ, C), jnp.float32))  # qfc_s

@@ -404,14 +404,14 @@ def test_kernel_dg_fetch_bitwise():
         qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         outs = {}
         for lorder in (True, False):
-            for fetch in ("gdot", "dg"):
+            for fetch in ("gdot", "dg", "dgs"):
                 fn, Gk = make_pallas2_bucket_search(
                     E, n1, d2, c_par, r_seq, lorder, interpret=True,
                     rng_mode="supplied", lsoln=True, fetch=fetch,
                     group=G)
                 assert Gk == G
-                assert fn.qrep == ("qflat" if fetch == "dg" else "qb2")
-                if fetch == "dg":
+                assert fn.qrep == ("qb2" if fetch == "gdot" else "qflat")
+                if fn.qrep == "qflat":
                     qa, qb = make_qflat(qtabp, qdmat)
                 else:
                     qa, qb = make_qb2(qtabp, qdmat, G)
@@ -419,9 +419,12 @@ def test_kernel_dg_fetch_bitwise():
                           qtv, qa, qb, t2flat, tpflat, dmflat, uni)
                 outs[(lorder, fetch)] = (np.asarray(s), np.asarray(m))
             s_ref, m_ref = outs[(lorder, "gdot")]
-            s_dg, m_dg = outs[(lorder, "dg")]
-            np.testing.assert_array_equal(s_dg, s_ref, err_msg=str(d2))
-            np.testing.assert_array_equal(m_dg, m_ref, err_msg=str(d2))
+            for v in ("dg", "dgs"):
+                s_dg, m_dg = outs[(lorder, v)]
+                np.testing.assert_array_equal(s_dg, s_ref,
+                                              err_msg=f"{d2}:{v}")
+                np.testing.assert_array_equal(m_dg, m_ref,
+                                              err_msg=f"{d2}:{v}")
 
 
 def test_kernel_dg_fetch_bitwise_two_planes():
