@@ -498,3 +498,20 @@ def test_packed_drain_roundtrip_all_dtypes():
             s, m = _unpack_out(packed, n1r, True, mb, sb)
             np.testing.assert_array_equal(s, np.asarray(scores))
             np.testing.assert_array_equal(m, np.asarray(maps))
+
+
+def test_kernel_dg_single_entry_chunk():
+    """dg with a 1-entry chunk (G clamps to 1; wide bucket) == engine,
+    bitwise — the CLI's tiny-DB path (e.g. tableauxdistmatrixdb.test
+    or the standalone probe entries)."""
+    rng = np.random.default_rng(41)
+    entries = [random_entry(rng, 100, "big0")]
+    query = pack_query(random_entry(rng, 7, "q"))
+    c_par, r_seq = 16, 2
+
+    (ks, kb), _db = _run_db_v2(query, entries, c_par, r_seq, True,
+                               buckets=(112,))
+    es, eb = _run_engine(query, entries, 112, c_par, r_seq, True,
+                         entry_keys(1234, 0, np.arange(1)))
+    np.testing.assert_array_equal(ks, es)
+    np.testing.assert_array_equal(kb, eb)
