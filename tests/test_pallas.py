@@ -515,3 +515,19 @@ def test_kernel_dg_single_entry_chunk():
                          entry_keys(1234, 0, np.arange(1)))
     np.testing.assert_array_equal(ks, es)
     np.testing.assert_array_equal(kb, eb)
+
+
+def test_tuned_tables_cover_default_buckets():
+    """Every default bucket cap has an HW-swept kernel config, and the
+    perf-critical dg adoption holds for lane-fusable queries — guards
+    against silent config drift (a cap missing from TUNED_DG would
+    quietly fall back to the slower MXU fetch)."""
+    from cuda_satabsearch_tpu.io.pack import DEFAULT_BUCKETS
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (TUNED_CONFIG,
+                                                     TUNED_DG,
+                                                     choose_fetch)
+
+    for cap in DEFAULT_BUCKETS:
+        assert cap in TUNED_DG, cap
+        assert cap in TUNED_CONFIG, cap
+        assert choose_fetch(cap, None, 8) == "dg", cap
