@@ -489,3 +489,31 @@ def test_scop_cli_dominfo_and_sample(tmp_path, capsys):
     scop_main(["--cla", str(cla), "--sample-queries", "5", "--seed", "2"])
     picks = capsys.readouterr().out.split()
     assert len(picks) == 5
+
+
+def test_db_names_keeps_float_looking_ids(tmp_path):
+    """_db_names must keep entry names that PARSE as floats but are
+    real identifiers ('1e50', '2e28', 'nan'-like) and raw PDB codes,
+    while never mistaking distance rows for headers."""
+    from cuda_satabsearch_tpu.eval.scop import _db_names
+
+    db = tmp_path / "db.ascii"
+    db.write_text(
+        "1e50    2\n"
+        "e  \n"
+        "OT e  \n"
+        " 0.000 \n"
+        " 5.250  0.000 \n"
+        "\n"
+        "d1ubqa_    2\n"
+        "e  \n"
+        "RT e  \n"
+        " 0.000 \n"
+        " 7.125  0.000 \n"
+        "\n"
+        "2e28    2\n"
+        "xa \n"
+        "PD xa \n"
+        " 1.000 \n"
+        " 9.000  1.000 \n")
+    assert _db_names(str(db)) == ["1e50", "d1ubqa_", "2e28"]

@@ -91,5 +91,8 @@ def test_native_writer_matches_python_writer():
     rng = np.random.default_rng(5)
     entries += [random_entry(rng, int(n), f"syn{n}")
                 for n in rng.integers(2, 60, size=8)]
+    # a name far beyond the header buffer's old 64-byte limit must
+    # emit in full (dynamic sizing), identically on both sides
+    entries.append(random_entry(rng, 5, "x" * 90))
     for e in entries:
         assert native.format_entry_native(e) == format_entry(e), e.name
