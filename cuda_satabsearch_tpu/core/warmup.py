@@ -53,7 +53,12 @@ def warm_backend(log: bool = True) -> float:
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
                 jnp.zeros((8, 128), jnp.float32))
         np.asarray(out)  # drain: block_until_ready lies on axon
-    except Exception:  # pragma: no cover - warm-up is best effort
+    except Exception as e:  # pragma: no cover - warm-up is best effort
+        # a genuinely broken backend will resurface at DB upload /
+        # search with less context — make the failure point visible
+        print(f"# backend warm-up failed ({type(e).__name__}: {e}); "
+              f"continuing — expect the first real dispatch to fail "
+              f"or pay the compile-service init", file=sys.stderr)
         return 0.0
     dt = time.perf_counter() - t0
     if log and dt > 1.0:

@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import signal
 import subprocess
 import sys
 from dataclasses import dataclass
@@ -64,13 +65,23 @@ def _run_one(command: str, subs: dict, out_path: str, err_path: str,
     stdin_fh = open(stdin_path, "rb") if stdin_path else subprocess.DEVNULL
     try:
         with open(out_path, "wb") as out_fh, open(err_path, "wb") as err_fh:
+            # start_new_session puts the shell AND its children in a
+            # fresh process group, so a timeout kills grandchildren too
+            # — otherwise they survive the shell and keep writing to
+            # this run's .out/.err, polluting later sweep results
+            proc = subprocess.Popen(cmd, shell=True, stdin=stdin_fh,
+                                    stdout=out_fh, stderr=err_fh,
+                                    start_new_session=True)
             try:
-                proc = subprocess.run(cmd, shell=True, stdin=stdin_fh,
-                                      stdout=out_fh, stderr=err_fh,
-                                      timeout=timeout)
+                proc.wait(timeout=timeout)
             except subprocess.TimeoutExpired:
                 # a hung tool fails THIS run, not the whole sweep; 124
                 # matches coreutils timeout(1)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                proc.wait()
                 return 124
     finally:
         if stdin_path:

@@ -107,6 +107,43 @@ def domain_info(domains, sids) -> list[str]:
     return lines
 
 
+def parse_des(path_or_fp) -> dict:
+    """{(level, sccs): description} from a SCOP dir.des file.
+
+    dir.des lines are 'sunid level sccs sid description...'
+    (level in cl/cf/sf/fa/dm/sp/px; sid is '-' above domain level).
+    """
+    fh = open(path_or_fp) if isinstance(path_or_fp, str) else path_or_fp
+    try:
+        out = {}
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split(None, 4)
+            if len(parts) < 5:
+                continue
+            out[(parts[1], parts[2])] = parts[4].strip()
+        return out
+    finally:
+        if isinstance(path_or_fp, str):
+            fh.close()
+
+
+def dominfo_dict(domains, des: dict | None = None) -> dict:
+    """{sid: (sf_sccs, sf_desc, fold_sccs, fold_desc)} — the content of
+    the reference's pickled scopdominfo cache
+    (build_fastscopdominfo_cache.py, consumed by ssemap2html.py),
+    built from dir.cla (+ optional dir.des descriptions)."""
+    des = des or {}
+    out = {}
+    for d in domains:
+        sf = sccs_prefix(d.sccs, "superfamily")
+        fold = sccs_prefix(d.sccs, "fold")
+        out[d.sid] = (sf, des.get(("sf", sf), ""),
+                      fold, des.get(("cf", fold), ""))
+    return out
+
+
 def sample_query_list(domains, n: int, seed: int = 1,
                       available=None) -> list[str]:
     """genquerylist.py equivalent: sample ``n`` sids with class
@@ -145,7 +182,9 @@ def sample_query_list(domains, n: int, seed: int = 1,
 
 def _db_names(dbfile: str) -> list[str]:
     """Entry names of an ASCII DB (header lines are 'name order')."""
+    import sys
     names = []
+    dotted = 0
     with open(dbfile) as fh:
         for line in fh:
             parts = line.split()
@@ -164,6 +203,14 @@ def _db_names(dbfile: str) -> list[str]:
                 continue
             if "." not in parts[0]:
                 names.append(parts[0])
+            else:
+                dotted += 1
+    if dotted:
+        # SCOP sids never contain dots, but an unexpected id scheme
+        # should be visible, not silently excluded from sampling
+        print(f"# _db_names: skipped {dotted} dotted candidate header "
+              f"name(s) in {dbfile} (names containing '.' are treated "
+              f"as distance rows)", file=sys.stderr)
     return names
 
 

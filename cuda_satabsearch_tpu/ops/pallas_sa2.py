@@ -227,6 +227,27 @@ def choose_cum(d2: int) -> str:
 
 
 @functools.lru_cache(maxsize=None)
+def effective_group(E: int, d2: int, n1: int, group: int | None = None,
+                    fetch: str = "auto") -> int:
+    """The entry-group size ``make_pallas2_bucket_search(E, n1, d2,
+    ..., fetch, group)`` will actually run with: the tuned preference,
+    clamped to E and then to E's largest divisor.  Exposed so mesh
+    dispatch can assert a sharded build (local E/ndev entries) lands on
+    the SAME G as the unsharded one — G seeds the group-leader pltpu
+    RNG streams, so a silent G-fallback difference between the two
+    builds would break sharded==unsharded bitwise parity without any
+    error (see pallas_search._make_db_fnK/_make_db_fn2)."""
+    n1r = round8(n1)
+    if fetch == "auto":
+        fetch = choose_fetch(d2, None, n1r)
+    if group is None and fetch in ("dg", "dgs"):
+        group = (TUNED_DG if dg_planes(n1r) == 1 else TUNED_DG16).get(d2)
+    G = min(group if group is not None else choose_group(d2, n1r), E)
+    while E % G:
+        G -= 1
+    return G
+
+
 def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                r_seq: int, lorder: bool,
                                params: SAParams = DEFAULTS,
@@ -289,6 +310,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     maxiter = p.maxiter
     n1r = round8(n1)
     P = n1r + 3 * maxiter  # the n1r slot schedule (ops/common.py)
+    _group_arg, _fetch_arg = group, fetch  # for the lockstep assert
     auto_fetch = fetch == "auto"
     if auto_fetch:
         fetch = choose_fetch(d2, None, n1r)  # "dg" is group-free
@@ -313,6 +335,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     while E % G:  # fall back to the largest divisor of E at or below
         G -= 1   # the tuned preference (chunks are padded to pow2/16x)
     assert E % G == 0, (E, G)
+    # keep the exported predictor in lockstep with this pick (mesh
+    # dispatch relies on it for the sharded==unsharded G assert)
+    assert G == effective_group(E, d2, n1, _group_arg, _fetch_arg), \
+        (G, E, d2, n1, _group_arg, _fetch_arg)
     EG = E // G
     C = C_LANES
     NEG = p.maxscore_init

@@ -200,6 +200,19 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
     kerns = {}
     for E, d2 in set(chunk_shapes):
         assert E % ndev == 0, (E, ndev)
+        if ndev > 1:
+            # the local-slice build must land on the SAME entry-group
+            # size as an unsharded build: G seeds the group-leader
+            # pltpu RNG streams, so a silent G fallback (E/ndev not a
+            # multiple of the tuned G) would break the bitwise
+            # sharded==unsharded guarantee without any error
+            from .pallas_sa2 import effective_group
+            gl, gu = (effective_group(E // ndev, d2, n1r),
+                      effective_group(E, d2, n1r))
+            assert gl == gu, (
+                f"chunk E={E} over {ndev} devices picks group {gl} "
+                f"locally vs {gu} unsharded; pad chunks so E/ndev is a "
+                f"multiple of the tuned group (prepare with mesh=)")
         kerns[(E, d2)] = make_pallas2_bucket_search(
             E // ndev, n1r, d2, c_par, r_seq, lorder, params, interpret,
             rng_mode, lsoln)
@@ -344,6 +357,17 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
     kerns = {}
     for E, d2 in set(chunk_shapes):
         assert E % ndev == 0, (E, ndev)
+        if ndev > 1:
+            # same guard as _make_db_fn2: a G fallback difference
+            # between the local-slice and unsharded builds would change
+            # the group-leader RNG streams silently
+            from .pallas_sa2 import effective_group
+            gl, gu = (effective_group(E // ndev, d2, n1r),
+                      effective_group(E, d2, n1r))
+            assert gl == gu, (
+                f"chunk E={E} over {ndev} devices picks group {gl} "
+                f"locally vs {gu} unsharded; pad chunks so E/ndev is a "
+                f"multiple of the tuned group (prepare with mesh=)")
         kerns[(E, d2)] = make_pallas2_bucket_search(
             E // ndev, n1r, d2, c_par, r_seq, lorder, params, interpret,
             rng_mode, lsoln, nq=K, batched_api=True)

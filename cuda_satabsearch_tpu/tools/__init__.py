@@ -1,3 +1,3 @@
 from .ssemap import (SSEMapHit, iter_ssemap_output,  # noqa: F401
                      parse_ssemap_output, remap_permutation, remap_subset,
-                     write_pml)
+                     write_html, write_pml)

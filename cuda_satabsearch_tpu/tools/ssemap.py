@@ -122,3 +122,76 @@ def write_pml(out: TextIO, query_id: str, query_sses, hit: SSEMapHit,
         out.write(f"color {color}, {hit.name} and chain {hs.chain} "
                   f"and resi {hs.start}-{hs.end}\n")
     out.write("deselect\n")
+
+
+_SCOP_SEARCH = "http://scop.mrc-lmb.cam.ac.uk/scop/search.cgi"
+_CARTOON = ("/pro-origami/cgi-bin/podbget.cgi"
+            "?pdbcode=%s&format=SVGINTERACTIVE&selsses=%s")
+
+
+def write_html(out: TextIO, hits, dominfo: dict | None = None) -> None:
+    """HTML correspondence report (ssemap2html.py:128-163 twin).
+
+    One table row per hit, sorted by |score| descending (the
+    reference's querymap_cmp uses absolute value so QP's negative and
+    the heuristic's positive scores sort alike): score, pro-origami
+    cartoon link with the matched db SSEs pre-selected, SCOP entry
+    link, superfamily sccs link + description, fold link + description.
+
+    ``dominfo``: {sid: (sf_sccs, sf_desc, fold_sccs, fold_desc)} —
+    eval.scop.dominfo_dict (the reference's pickled scopdominfo cache);
+    hits absent from it get empty classification cells instead of the
+    reference's KeyError.
+    """
+    dominfo = dominfo or {}
+    out.write('<html>\n')
+    out.write('<link rel="stylesheet" href="/pro-origami/style.css" />\n')
+    out.write('<div id="qpresults">\n<table>\n')
+    out.write('<tr><th>score<th>cartoon<th>SCOP entry'
+              '<th>superfamily<th>fold</tr>\n')
+    for hit in sorted(hits, key=lambda h: abs(h.score), reverse=True):
+        sel = ",".join(str(j) for _i, j in hit.ssemap) or "none"
+        sf_sccs, sf_desc, fold_sccs, fold_desc = dominfo.get(
+            hit.name, ("", "", "", ""))
+        out.write(
+            f'<tr><td>{hit.score:g} '
+            f'<td><a href="{_CARTOON % (hit.name, sel)}">{hit.name}</a>'
+            f'<td><a href="{_SCOP_SEARCH}?sid={hit.name}">{hit.name}</a>'
+            f'<td><a href="{_SCOP_SEARCH}?sccs={sf_sccs}">{sf_sccs} '
+            f'{sf_desc}'
+            f'<td><a href="{_SCOP_SEARCH}?sccs={fold_sccs}">{fold_desc}'
+            f'</tr>\n')
+    out.write('</table>\n</div>\n</html>\n')
+
+
+def main(argv=None) -> int:
+    """CLI: LSOLN search output (stdin) -> HTML report (stdout).
+
+    The ssemap2html.py driver surface; the pickled-cache argument is
+    replaced by --cla/--des SCOP classification files (eval.scop)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m cuda_satabsearch_tpu.tools.ssemap",
+        description="SSE-correspondence HTML report (ssemap2html twin)")
+    ap.add_argument("--cla", default=None,
+                    help="SCOP(e) dir.cla file for classification cells")
+    ap.add_argument("--des", default=None,
+                    help="SCOP(e) dir.des file for descriptions")
+    ap.add_argument("--query", default=None,
+                    help="only emit hits for this query id")
+    args = ap.parse_args(argv)
+
+    dominfo = None
+    if args.cla:
+        from ..eval import scop
+        des = scop.parse_des(args.des) if args.des else None
+        dominfo = scop.dominfo_dict(scop.parse_cla(args.cla), des)
+    hits = [h for h in iter_ssemap_output(sys.stdin)
+            if args.query is None or h.query.lower() == args.query.lower()]
+    write_html(sys.stdout, hits, dominfo)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

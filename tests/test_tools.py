@@ -93,3 +93,95 @@ def test_superimpose_ssemap_pairs():
     R, t, rmsd = superimpose_ssemap(qs, hs, [(1, 1), (2, 2), (3, 3), (4, 4)])
     assert rmsd < 1e-9
     np.testing.assert_allclose(t, [-5, -5, -5], atol=1e-9)
+
+
+def test_write_html_report():
+    import io as _io
+
+    from cuda_satabsearch_tpu.tools.ssemap import (iter_ssemap_output,
+                                                   write_html)
+
+    hits = list(iter_ssemap_output(_io.StringIO(SAMPLE)))
+    dominfo = {"d1ndda_": ("d.15.1", "Ubiquitin-like",
+                           "d.15", "beta-grasp")}
+    buf = _io.StringIO()
+    write_html(buf, hits[:2], dominfo)
+    html = buf.getvalue()
+    # sorted by |score| descending: d1ndda_ (54) before d2xyz__ (0.5)
+    assert html.index("d1ndda_") < html.index("d2xyz__")
+    # cartoon link pre-selects the matched db SSEs (reference selsses)
+    assert "pdbcode=d1ndda_&format=SVGINTERACTIVE&selsses=1,2,4" in html
+    assert "search.cgi?sid=d1ndda_" in html
+    assert "d.15.1 Ubiquitin-like" in html
+    assert "beta-grasp" in html
+    # unknown sid gets empty classification cells, not a crash
+    assert "d2xyz__" in html
+    assert html.count("<tr>") == 3  # header + 2 hits
+
+
+def test_dominfo_dict_from_cla_and_des():
+    import io as _io
+
+    from cuda_satabsearch_tpu.eval import scop
+
+    cla = "d1ubia_\t1ubi\tA:\td.15.1.1\t123456\n"
+    des = ("46456\tcl\td\t-\tAlpha and beta proteins\n"
+           "46457\tcf\td.15\t-\tbeta-Grasp (ubiquitin-like)\n"
+           "46458\tsf\td.15.1\t-\tUbiquitin-like\n")
+    domains = scop.parse_cla(_io.StringIO(cla))
+    d = scop.dominfo_dict(domains, scop.parse_des(_io.StringIO(des)))
+    assert d["d1ubia_"] == ("d.15.1", "Ubiquitin-like",
+                            "d.15", "beta-Grasp (ubiquitin-like)")
+
+
+def test_tophits_bundle(tmp_path):
+    from cuda_satabsearch_tpu.tools.ssemap import SSEMapHit
+    from cuda_satabsearch_tpu.tools.tophits import (find_structure,
+                                                    write_top_hits)
+    from test_build import make_synthetic_pdb
+
+    pdb_text = make_synthetic_pdb()
+    qpath = tmp_path / "dquerya_.ent"
+    qpath.write_text(pdb_text)
+    (tmp_path / "d1hita_.ent").write_text(pdb_text)
+
+    assert find_structure("d1hita_", (), (str(tmp_path),)) is not None
+    assert find_structure("dnope__", (), (str(tmp_path),)) is None
+
+    hits = [
+        SSEMapHit(query="dquerya_", name="d1hita_", score=40.0,
+                  ssemap=[(1, 1), (2, 2), (3, 3)]),
+        SSEMapHit(query="dquerya_", name="dmissing", score=99.0,
+                  ssemap=[(1, 1), (2, 2), (3, 3)]),
+        SSEMapHit(query="other", name="d1hita_", score=1.0,
+                  ssemap=[(1, 1)]),
+    ]
+    out_dir = tmp_path / "out"
+    written = write_top_hits(hits, "dquerya_", str(qpath), str(out_dir),
+                             flat_dirs=(str(tmp_path),), num_hits=10)
+    # the other-query hit is filtered; the missing structure skipped
+    assert written == ["d1hita_"]
+    pml = (out_dir / "dquerya__d1hita_.pml").read_text()
+    assert "color" in pml and "d1hita_" in pml
+    pdb = (out_dir / "dquerya__D1HITA_.pdb").read_text()
+    # identical structures superimpose at ~zero rmsd, coords unchanged
+    assert "rmsd 0.000" in pdb
+    load = (out_dir / "loadhits_dquerya_.pml").read_text()
+    assert "dquerya__D1HITA_.pdb" in load
+
+
+def test_ssemap_html_cli(tmp_path, capsys):
+    import sys
+
+    from cuda_satabsearch_tpu.tools import ssemap
+
+    old = sys.stdin
+    sys.stdin = io.StringIO(SAMPLE)
+    try:
+        rc = ssemap.main(["--query", "D1UBIA_"])
+    finally:
+        sys.stdin = old
+    assert rc == 0
+    html = capsys.readouterr().out
+    assert "d1ndda_" in html and "d2xyz__" in html
+    assert "<table>" in html
