@@ -1,24 +1,32 @@
-"""Headline benchmark: SA search throughput on the reference's worked
-example — 586-entry DB (tableauxdistmatrixdb.small.ascii), 8-SSE
-ubiquitin query, 128 restarts, 100 iterations.
+"""Benchmark vs the reference's recorded baselines — ALL shapes by
+default, so the driver-captured ledger certifies every claimed number:
 
-Baseline: NVIDIA A100-PCIE-40GB runs this at 1264.7 million SA
-iterations/sec (reference README_example_usage.txt:84-85; BASELINE.md).
+  586db          586-entry DB (tableauxdistmatrixdb.small.ascii),
+                 8-SSE ubiquitin query, r=128, 100 iterations.
+                 Baseline: NVIDIA A100-PCIE-40GB, 1264.7 M it/s
+                 (README_example_usage.txt:84-85; BASELINE.md).
+  large14291     synthetic 14291-entry ASTRAL-like DB, same query.
+                 Baseline: A100 full-ASTRAL, 1903.2 M it/s
+                 (README_example_usage.txt:241-242).
+  bigquery       19-SSE d2phlb1 query at r=4096 on the 586-entry DB.
+                 Baseline: Tesla M2070, 145.3 M it/s
+                 (old/nvcc_src_cuda5/gpucudaSaTabsearch_fermi.e1462444).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "M it/s", "vs_baseline": N}
+Prints ONE JSON line.  The headline metric is the 586db SUSTAINED
+throughput — a pipelined multi-query stream with host round trips
+amortized, the closest equivalent of the reference's kernel-only GPU
+timing (its baselines exclude all host work and D2H) — with the
+per-query, large-DB, and big-query numbers as extra fields:
 
-Timing excludes DB load/upload and compilation (warm-up pass first),
-matching how the reference reports its kernel-only GPU execution time.
+  {"metric": "sa_search_throughput_586db_8sse_r128_sustained",
+   "value": N, "unit": "M it/s", "vs_baseline": N,
+   "per_query_m_it_s": ..., "per_query_vs_baseline": ...,
+   "large14291_m_it_s": ..., "large14291_vs_baseline": ...,
+   "bigquery_r4096_m_it_s": ..., "bigquery_r4096_vs_baseline": ...}
 
-Extra modes (stderr-only, do not change the headline JSON):
-  --large N     also run a synthetic N-entry DB (ASTRAL-like size mix,
-                reference full-DB baseline 1903.2 M it/s)
-  --big-query   also run the 19-SSE d2phlb1 query at r=4096 (reference
-                baseline: 145.3 M it/s on a Tesla M2070,
-                old/nvcc_src_cuda5/gpucudaSaTabsearch_fermi.e1462444)
-  --restarts R  restart count (headline default 128)
-  --backend B   pallas | xla | auto
+Flags: --skip-large / --skip-big-query for a quick headline-only run;
+--large N overrides the synthetic DB size; --restarts / --backend as
+before; --paritycheck runs the on-HW bitwise gate instead.
 """
 
 import argparse
@@ -62,7 +70,13 @@ def synthetic_entries(n):
     return out
 
 
-def run_search(session, query, restarts, label, baseline):
+def run_search(session, query, restarts, label, baseline, nq=384):
+    """(per_query, sustained) M it/s for one workload shape.
+
+    per_query includes a full dispatch+drain round trip (on this
+    environment ~25 ms tunnel RTT per drain); sustained pipelines
+    ``nq`` queries with one drain per tile, amortizing host cost —
+    the basis comparable to the reference's kernel-only timing."""
     t0 = time.perf_counter()
     result = session.search(query, lorder=True, query_tag=0)
     print(f"# [{label}] warm-up (incl. compile): "
@@ -80,14 +94,9 @@ def run_search(session, query, restarts, label, baseline):
     print(f"# [{label}] top hits: {[(n, int(s)) for s, n in top]}",
           file=sys.stderr)
     print(f"# [{label}] per-query {m_it_s:.1f} M it/s "
-          f"({m_it_s / baseline:.3f}x of A100 baseline)", file=sys.stderr)
+          f"({m_it_s / baseline:.3f}x of baseline)", file=sys.stderr)
 
-    # sustained throughput: a pipelined stream of queries, host round
-    # trips amortized — the closest equivalent of the reference's
-    # kernel-execution-only timing (its 1264.7 M it/s excludes all
-    # host work and D2H, README_example_usage.txt:84-85)
-    nq = 384
-    session.search_many([query] * nq)  # warm the scan-fn compile
+    session.search_many([query] * nq)  # warm the batched-fn compile
     best_s = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -97,7 +106,7 @@ def run_search(session, query, restarts, label, baseline):
     print(f"# [{label}] sustained ({nq} pipelined queries): "
           f"{sustained:.1f} M it/s ({sustained / baseline:.3f}x)",
           file=sys.stderr)
-    return max(m_it_s, sustained)
+    return m_it_s, sustained
 
 
 def main():
@@ -105,10 +114,15 @@ def main():
     ap.add_argument("--restarts", type=int, default=128)
     ap.add_argument("--backend", default="auto",
                     choices=("auto", "pallas", "xla"))
-    ap.add_argument("--large", type=int, default=0,
-                    help="also bench a synthetic N-entry DB")
+    ap.add_argument("--large", type=int, default=14291,
+                    help="synthetic large-DB entry count (default 14291, "
+                         "the reference's full-ASTRAL size)")
+    ap.add_argument("--skip-large", action="store_true",
+                    help="headline 586db shape only")
     ap.add_argument("--big-query", action="store_true",
-                    help="also bench the 19-SSE d2phlb1 query at r=4096")
+                    help=argparse.SUPPRESS)  # legacy; now the default
+    ap.add_argument("--skip-big-query", action="store_true",
+                    help="skip the 19-SSE r=4096 shape")
     ap.add_argument("--paritycheck", action="store_true",
                     help="run the on-HW bitwise parity gate "
                          "(scripts/hw_paritycheck.py) and write PARITY.json")
@@ -125,7 +139,7 @@ def main():
         artifact = {
             "gate": "pallas-vs-xla bitwise (scores+maps), supplied RNG, "
                     "n1 in {8,19,101} x lorder; batched-vs-sequential in "
-                    "supplied+pltpu modes",
+                    "supplied+pltpu modes incl. small-G (G%8!=0) pltpu",
             "result": "PASS",
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,
@@ -154,32 +168,45 @@ def main():
     print(f"# db: {session.nentries} entries, query: {query.name} "
           f"({query.order} SSEs), restarts: {args.restarts}, "
           f"backend: {args.backend}", file=sys.stderr)
-    m_it_s = run_search(session, query, args.restarts, "586db",
-                        BASELINE_M_IT_S)
+    per_query, sustained = run_search(session, query, args.restarts,
+                                      "586db", BASELINE_M_IT_S)
 
-    if args.large:
+    out = {
+        "metric": "sa_search_throughput_586db_8sse_r128_sustained",
+        "value": round(sustained, 2),
+        "unit": "M it/s",
+        "vs_baseline": round(sustained / BASELINE_M_IT_S, 4),
+        "per_query_m_it_s": round(per_query, 2),
+        "per_query_vs_baseline": round(per_query / BASELINE_M_IT_S, 4),
+    }
+
+    if args.large and not args.skip_large:
         entries = synthetic_entries(args.large)
         big = SearchSession("<synthetic>", SessionConfig(
             maxstart=args.restarts, backend=args.backend), entries=entries)
-        print(f"# large db: {big.nentries} entries", file=sys.stderr)
-        run_search(big, query, args.restarts, f"large{args.large}",
-                   BASELINE_LARGE)
+        print(f"# large db: {big.nentries} entries (ASTRAL-like mix)",
+              file=sys.stderr)
+        # device time per query here is ~100 ms: 64 pipelined queries
+        # already put the per-stream drain cost below 0.5%
+        _, lsust = run_search(big, query, args.restarts,
+                              f"large{args.large}", BASELINE_LARGE, nq=64)
+        out[f"large{args.large}_m_it_s"] = round(lsust, 2)
+        out[f"large{args.large}_vs_baseline"] = round(
+            lsust / BASELINE_LARGE, 4)
 
-    if args.big_query:
+    if not args.skip_big_query:
         with open(os.path.join(FIXTURES, "d2phlb1.input")) as fp:
             bq = pack_query(parse_search_input(fp).queries[0])
         sess4k = SearchSession(dbfile, SessionConfig(
             maxstart=4096, backend=args.backend))
         print(f"# big query: {bq.name} ({bq.order} SSEs), r=4096",
               file=sys.stderr)
-        run_search(sess4k, bq, 4096, "d2phlb1_r4096", BASELINE_BIGQ)
+        _, qsust = run_search(sess4k, bq, 4096, "d2phlb1_r4096",
+                              BASELINE_BIGQ, nq=16)
+        out["bigquery_r4096_m_it_s"] = round(qsust, 2)
+        out["bigquery_r4096_vs_baseline"] = round(qsust / BASELINE_BIGQ, 4)
 
-    print(json.dumps({
-        "metric": "sa_search_throughput_586db_8sse_r128",
-        "value": round(m_it_s, 2),
-        "unit": "M it/s",
-        "vs_baseline": round(m_it_s / BASELINE_M_IT_S, 4),
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -30,18 +30,33 @@ from .search import choose_chains
 CHUNK_ENTRIES = 128
 
 
-def _chunk_plan(n: int, cs: int):
-    """[(start, end, padded_idx_or_None)] covering n entries."""
-    plan = []
+def chunk_layout(n: int, ndev: int = 1,
+                 chunk_entries: int = CHUNK_ENTRIES,
+                 pow2_tail: bool | None = None):
+    """[(start, end, padded_E)] — the exact chunk plan
+    prepare_bucket_pallas2 builds for an n-entry bucket on an
+    ndev-device mesh.  Exported so the load-balance harness
+    (ops/balance.py) accounts for precisely the chunks that will run.
+
+    Every chunk is padded to a multiple of MAX_GROUP * ndev so each
+    device takes E/ndev rows of EVERY chunk and any tuned group size
+    divides the local slice.  ``pow2_tail`` (default: single-device
+    only) lets a small unsharded tail pad to the next power of two
+    instead of a full MAX_GROUP quantum."""
+    if pow2_tail is None:
+        pow2_tail = ndev == 1
+    quantum = MAX_GROUP * ndev
+    cs = min(-(-chunk_entries // quantum) * quantum,
+             -(-max(n, 1) // quantum) * quantum)
+    out = []
     for start in range(0, n, cs):
         end = min(start + cs, n)
-        if end - start < cs and n > cs:
-            idx = np.concatenate([np.arange(start, end),
-                                  np.zeros(cs - (end - start), np.int64)])
-            plan.append((start, end, idx))
-        else:
-            plan.append((start, end, None))
-    return plan
+        k = end - start
+        E = -(-k // quantum) * quantum
+        if pow2_tail and k < MAX_GROUP:
+            E = 1 << (k - 1).bit_length() if k > 1 else 1
+        out.append((start, end, E))
+    return out
 
 
 MAX_GROUP = 16  # pallas_sa2.choose_group upper bound; chunk sizes must
@@ -124,9 +139,12 @@ def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
     one-time DB copy, but SPMD: each chip holds 1/n of the entries)."""
     n = bucket.size
     d2 = bucket.dim
-    quantum = MAX_GROUP * (mesh.size if mesh is not None else 1)
+    ndev = mesh.size if mesh is not None else 1
+    quantum = MAX_GROUP * ndev
     cs = min(-(-chunk_entries // quantum) * quantum,
              -(-max(n, 1) // quantum) * quantum)
+    layout = chunk_layout(n, ndev, chunk_entries,
+                          pow2_tail=mesh is None)
     tab2p_full = pack_tab(bucket.tabhi, bucket.tablo)
     types_full = bucket.types.astype(np.int32)
     dmat_full = bucket.dmat.astype(np.float32)
@@ -152,16 +170,8 @@ def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
         put2 = put1
 
     chunks = []
-    for start, end, _idx in _chunk_plan(n, cs):
+    for start, end, E in layout:
         k = end - start
-        # Pad to a multiple of the quantum (every possible group size
-        # divides it), EXCEPT small tails on a single device: a power
-        # of two >= k is divisible by any group size the kernel will
-        # clamp to (G = min(G, E)), and avoids e.g. running 16 padded
-        # entries for a 1-entry tail.
-        E = -(-k // quantum) * quantum
-        if mesh is None and k < MAX_GROUP:
-            E = 1 << (k - 1).bit_length() if k > 1 else 1
         idx = np.concatenate([np.arange(start, end),
                               np.zeros(E - k, np.int64)])
         chunks.append({

@@ -108,3 +108,51 @@ def test_pallas_batched_multiquery_sharded_bitwise():
         np.testing.assert_array_equal(shard[qi][0], plain[qi][0])
         np.testing.assert_array_equal(shard[qi][1], plain[qi][1])
         assert shard[qi][1].shape == (db.nentries, q.order)
+
+
+def test_mesh_balance_report():
+    """Chunk-split sharding balances work exactly; a naive contiguous
+    entry split of a lognormal (ASTRAL-like) size mix does not."""
+    from bench import synthetic_entries
+    from cuda_satabsearch_tpu.ops.balance import (balance_report,
+                                                  format_report)
+
+    db = pack_database(synthetic_entries(2048), pad_to=8)
+    rep = balance_report(db, 8)
+    # per-shard work equal by construction: every device runs E/8 rows
+    # of every padded chunk
+    assert rep["imbalance"] < 1e-9
+    assert len(set(rep["per_shard_ms"])) == 1
+    assert len(set(rep["iters_m_per_shard"])) == 1
+    # the naive contiguous split is measurably imbalanced on the
+    # size-sorted lognormal mix (small entries first -> last shard
+    # gets all the wide ones)
+    assert rep["naive_imbalance"] > 0.10
+    # padding overhead at 2048 entries is dominated by each bucket's
+    # tail chunk rounding up to the 128-entry mesh quantum (8 dev x
+    # MAX_GROUP); it stays bounded here and amortizes to a few percent
+    # at the 14291-entry ASTRAL scale
+    assert 0.0 < rep["padding_overhead"] < 1.0
+    assert "imbalance 0.00%" in format_report(rep)
+
+
+def test_mesh_balance_matches_real_chunks():
+    """The balance accounting walks the SAME chunk layout the device
+    preparation builds (chunk_layout is shared code), so per-shard
+    iteration counts equal the sum over prepared chunk sizes / ndev."""
+    from bench import synthetic_entries
+    from cuda_satabsearch_tpu.ops.balance import balance_report
+    from cuda_satabsearch_tpu.ops.pallas_search import (
+        prepare_bucket_pallas2)
+
+    db = pack_database(synthetic_entries(300), pad_to=8)
+    mesh = make_mesh(jax.devices()[:8])
+    total_padded = 0
+    for b in db.buckets:
+        prep = prepare_bucket_pallas2(b, mesh=mesh)
+        total_padded += sum(c["size"] for c in prep["chunks"])
+    rep = balance_report(db, 8, restarts=128)
+    # iters_m_per_shard are millions of entry-iterations per device
+    expect = total_padded / 8 * 128 * 100 / 1e6
+    # report values are rounded to 3 decimals
+    assert abs(rep["iters_m_per_shard"][0] - expect) < 1e-3
