@@ -88,6 +88,25 @@ TUNED_DG: dict[int, int] = {8: 16, 16: 8, 24: 8, 32: 8, 40: 8, 48: 8,
 # 0.59-0.80x of the MXU path at every width) — adoption stops here.
 TUNED_DG16: dict[int, int] = {24: 8, 32: 8, 48: 8, 64: 4}
 
+# "dgp" (packed single-gather dg) adoption per width for one-plane
+# queries (n1r == 8): HW sweep 2026-08-21 (scripts/sweep_dgp.py, TPU
+# v5 lite) — dgp beat the adopted dg at EVERY width, 1.05x (d2=8,
+# 1785 M it/s) to 1.35x (d2=80), with the winning group sizes below.
+# The dgs experiment had shown the dg gathers are data-bound; dgp
+# halves the gathered data (code+dist packed into one f32), which dgs
+# (issue-merging only) could not.
+TUNED_DGP: dict[int, int] = {8: 16, 16: 16, 24: 16, 32: 8, 40: 8,
+                             48: 8, 56: 8, 64: 4, 72: 4, 80: 4, 88: 4,
+                             96: 4, 104: 4, 112: 4}
+
+# dgp for TWO-PLANE queries (12 <= n1 <= 16): HW sweep 2026-08-21
+# (scripts/sweep_dgp.py --n1 13) — dgp beat the prior config at EVERY
+# width, 1.27x-1.58x (the 2-plane dg only won at 24-64; dgp's halved
+# data + single plane-select extends the win to the full range).
+TUNED_DGP16: dict[int, int] = {8: 16, 16: 16, 24: 8, 32: 8, 40: 8,
+                               48: 4, 56: 4, 64: 4, 72: 4, 80: 4,
+                               88: 4, 96: 4, 104: 16, 112: 16}
+
 
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
     """Entries per grid step (see TUNED_CONFIG; measured on real HW).
@@ -206,6 +225,9 @@ def choose_fetch(d2: int, group: int | None = None,
     """
     if n1r is not None:
         npl = dg_planes(n1r)
+        if (npl == 1 and d2 in TUNED_DGP) or (npl == 2
+                                              and d2 in TUNED_DGP16):
+            return "dgp"
         if (npl == 1 and d2 in TUNED_DG) or (npl == 2
                                              and d2 in TUNED_DG16):
             return "dg"
@@ -240,8 +262,12 @@ def effective_group(E: int, d2: int, n1: int, group: int | None = None,
     n1r = round8(n1)
     if fetch == "auto":
         fetch = choose_fetch(d2, None, n1r)
+    npl1 = dg_planes(n1r) == 1
+    if group is None and fetch == "dgp":
+        group = ((TUNED_DGP if npl1 else TUNED_DGP16).get(d2)
+                 or (TUNED_DG if npl1 else TUNED_DG16).get(d2))
     if group is None and fetch in ("dg", "dgs"):
-        group = (TUNED_DG if dg_planes(n1r) == 1 else TUNED_DG16).get(d2)
+        group = (TUNED_DG if npl1 else TUNED_DG16).get(d2)
     G = min(group if group is not None else choose_group(d2, n1r), E)
     while E % G:
         G -= 1
@@ -321,9 +347,21 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     # the gathers are data-bound, not issue-bound), so auto never
     # selects it; kept as a tested variant for future chips where the
     # issue/data balance may differ.
-    dg = fetch == "dg" or dgs
+    dgp = fetch == "dgp"
+    # "dgp": dg with PACKED value planes — tableau code and bf16-grid
+    # distance fused into ONE f32 per element (the pack_qc format), so
+    # each per-move fetch is ONE gather instead of two: 6 [DQ, C]
+    # gathers per iteration drop to 3.  The dgs experiment showed the
+    # gathers are data-bound, and dgp HALVES the gathered data (dgs
+    # only merged issues); unpack is ~4 cheap VPU ops per plane.
+    # Bitwise-identical values: distances are bf16-quantized at pack
+    # time (io/pack.py), so their f32 bits survive the 16-bit split.
+    dg = fetch == "dg" or dgs or dgp
     NPL = dg_planes(n1r) if dg else 0  # query-fetch lane planes
     assert not dgs or NPL == 1, (fetch, n1r)
+    if group is None and dgp:
+        group = ((TUNED_DGP if NPL == 1 else TUNED_DGP16).get(d2)
+                 or (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2))
     if group is None and dg:
         group = (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2)
     G = min(group if group is not None else choose_group(d2, n1r), E)
@@ -485,11 +523,16 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         bestmap = rest.pop(0) if lsoln else None
         qc_s = None
         bd_all = dbc_s = dbd_s = qfc_s = qfd_s = None
-        dbcd_s = qfcd_s = None
+        dbcd_s = qfcd_s = dbp_s = qfp_s = None
         if dgs:
             # stacked planes: one gather serves old+new codes+dists
             dbcd_s = rest.pop(0)  # [4DQ, C]: codes, dists, codes, dists
             qfcd_s = rest.pop(0)  # [2DQ, C]: query codes, dists
+        elif dgp:
+            # packed planes: ONE f32 per element carries code AND dist
+            # (pack_qc format), so every fetch is a single gather
+            dbp_s = rest.pop(0)  # [DQ, C] packed db code+dist, cols j
+            qfp_s = rest.pop(0)  # [NPL*DQ, C] packed query code+dist
         elif dg:
             # padded per-lane value planes for the dynamic gathers
             dbc_s = rest.pop(0)  # [DQ, C] db packed codes (cols j)
@@ -600,6 +643,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                     # serves both the old and the new column
                     for blk, v in ((0, t), (1, d), (2, t), (3, d)):
                         dbcd_s[pl.ds(blk * DQ, DQ), :] = v
+                elif dgp:
+                    dbp_s[...] = pack_qc(t, d)
                 else:
                     dbc_s[...] = t
                     dbd_s[...] = d
@@ -611,6 +656,12 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                         qb2t_ref[0:1, :], (DQ, C))
                     qfcd_s[pl.ds(DQ, DQ), :] = jnp.broadcast_to(
                         qb2d_ref[0:1, :], (DQ, C))
+                elif dgp:
+                    for pp in range(NPL):
+                        qfp_s[pl.ds(pp * DQ, DQ), :] = jnp.broadcast_to(
+                            pack_qc(qb2t_ref[8 * pp:8 * pp + 1, :],
+                                    qb2d_ref[8 * pp:8 * pp + 1, :]),
+                            (DQ, C))
                 else:
                     for pp in range(NPL):
                         rows = pl.ds(pp * DQ, DQ)
@@ -684,6 +735,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                     dbcd_s[pl.ds(0, 2 * DQ), :],
                     jnp.concatenate([idx, idx], axis=0), axis=1)
                 return v[0:DQ], v[DQ:2 * DQ]
+            if dgp:
+                return unpack_qc(
+                    jnp.take_along_axis(dbp_s[...], idx, axis=1))
             return (jnp.take_along_axis(dbc_s[...], idx, axis=1),
                     jnp.take_along_axis(dbd_s[...], idx, axis=1))
 
@@ -717,6 +771,19 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                     qfcd_s[...], jnp.concatenate([idx, idx], axis=0),
                     axis=1)
                 return v[0:DQ], v[DQ:2 * DQ]
+            if dgp:
+                if NPL == 1:
+                    return unpack_qc(
+                        jnp.take_along_axis(qfp_s[...], idx, axis=1))
+                lane = idx & (C - 1)
+                out = jnp.take_along_axis(qfp_s[0:DQ, :], lane, axis=1)
+                plane = jnp.right_shift(idx, 7)
+                for pp in range(1, NPL):
+                    m = plane == pp
+                    out = jnp.where(m, jnp.take_along_axis(
+                        qfp_s[pl.ds(pp * DQ, DQ), :], lane, axis=1),
+                        out)
+                return unpack_qc(out)
             if NPL == 1:
                 return (jnp.take_along_axis(qfc_s[...], idx, axis=1),
                         jnp.take_along_axis(qfd_s[...], idx, axis=1))
@@ -1041,6 +1108,9 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     if dgs:
         scratch.append(pltpu.VMEM((4 * DQ, C), jnp.float32))  # dbcd_s
         scratch.append(pltpu.VMEM((2 * DQ, C), jnp.float32))  # qfcd_s
+    elif dgp:
+        scratch.append(pltpu.VMEM((DQ, C), jnp.float32))  # dbp_s
+        scratch.append(pltpu.VMEM((NPL * DQ, C), jnp.float32))  # qfp_s
     elif dg:
         scratch.append(pltpu.VMEM((DQ, C), jnp.float32))  # dbc_s
         scratch.append(pltpu.VMEM((DQ, C), jnp.float32))  # dbd_s

@@ -222,7 +222,8 @@ def search_db(query: PackedQuery, db: PackedDB, *,
 
 
 def upload_db(db: PackedDB, device=None, sharding=None,
-              backend: str = "auto") -> dict:
+              backend: str = "auto", chunk_entries: int | None = None
+              ) -> dict:
     """Pre-upload packed DB arrays to device(s) once (the analog of the
     reference's one-time cudaMemcpy3D of the whole DB,
     cudaSaTabsearch.cu:924-963).
@@ -251,8 +252,11 @@ def upload_db(db: PackedDB, device=None, sharding=None,
             mesh = None
             if sharding is not None and not callable(sharding):
                 mesh = sharding.mesh
+            kw = {}
+            if chunk_entries:
+                kw["chunk_entries"] = chunk_entries
             entry["pallas"] = prepare_bucket_pallas2(b, device=device,
-                                                     mesh=mesh)
+                                                     mesh=mesh, **kw)
         else:
             entry["xla"] = {"types": put(b.types), "tabhi": put(b.tabhi),
                             "tablo": put(b.tablo), "dmat": put(b.dmat),

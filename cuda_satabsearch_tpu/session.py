@@ -36,6 +36,8 @@ class SessionConfig:
     use_mesh: bool = False  # shard the entry axis over all devices
     compat_z: bool = False  # reproduce the reference's int-truncated z
     devices: object = None  # optional explicit device list for the mesh
+    chunk_entries: int = 0  # entries per pallas kernel dispatch
+    # (0 = the pallas_search.CHUNK_ENTRIES default)
 
 
 class SearchSession:
@@ -86,7 +88,8 @@ class SearchSession:
 
         t0 = time.perf_counter()
         self.device_db = upload_db(self.db, sharding=self.sharding,
-                                   backend=self.config.backend)
+                                   backend=self.config.backend,
+                                   chunk_entries=self.config.chunk_entries)
         self.upload_ms = (time.perf_counter() - t0) * 1000.0
         self._query_tag = 0
 

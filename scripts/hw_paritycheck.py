@@ -105,6 +105,53 @@ def run(seed: int = 99) -> None:
                       file=sys.stderr)
                 failures += 1
 
+    # pltpu small-G gate (G % 8 != 0): when an entry group is not a
+    # sublane multiple, the kernel's chunked prng_random_bits draws
+    # form a VALID but DIFFERENT stream from one big draw
+    # (pallas_sa2.py in-kernel note) — the CPU interpret test for this
+    # skips, so pin the path here on real hardware: (a) run-to-run
+    # determinism, (b) batched == sequential, (c) supplied-mode
+    # equality vs the XLA engine, on DBs whose tail chunks force
+    # G in {1, 2, 4}.
+    for sizes2, buckets2, label in (
+            ([5, 6, 7, 8, 100, 101], (8, 112), "G=4/2"),
+            ([9], (16, 112), "G=1")):  # 112 bucket stays empty
+        ents2 = [entry(int(n), f"s{i}") for i, n in enumerate(sizes2)]
+        db2 = pack_database(ents2, buckets=buckets2)
+        qs2 = [pack_query(entry(7, f"sq{i}")) for i in range(3)]
+        kw2 = dict(maxstart=32, lorder=True, seed=77, c_max=32,
+                   interpret=False)
+        runs = []
+        for _ in range(2):  # determinism of the pltpu stream
+            runs.append(assemble_db_pallas2_multi(
+                dispatch_db_pallas2_multi(
+                    qs2, db2, query_tags=[1, 2, 3], rng_mode="pltpu",
+                    lsoln=True, **kw2)))
+        seq = [assemble_db_pallas2(dispatch_db_pallas2(
+            q, db2, query_tag=1 + qi, rng_mode="pltpu", **kw2))
+            for qi, q in enumerate(qs2)]
+        ok = all(np.array_equal(runs[0][qi][0], runs[1][qi][0])
+                 and np.array_equal(runs[0][qi][1], runs[1][qi][1])
+                 for qi in range(len(qs2)))
+        ok = ok and all(
+            np.array_equal(runs[0][qi][0], seq[qi][0])
+            and np.array_equal(runs[0][qi][1], seq[qi][1])
+            for qi in range(len(qs2)))
+        sup = assemble_db_pallas2(dispatch_db_pallas2(
+            qs2[0], db2, query_tag=1, rng_mode="supplied", **kw2))
+        ref2 = search_db(qs2[0], db2, maxstart=32, lorder=True, seed=77,
+                         query_tag=1, c_max=32, backend="xla")
+        ok = ok and (np.array_equal(sup[0], ref2.scores)
+                     and np.array_equal(sup[1], ref2.ssemaps))
+        if ok:
+            print(f"PARITY OK   small-G pltpu [{label}]: deterministic, "
+                  f"batched == sequential, supplied == engine",
+                  file=sys.stderr)
+        else:
+            print(f"PARITY FAIL small-G pltpu [{label}]",
+                  file=sys.stderr)
+            failures += 1
+
     if failures:
         raise SystemExit(f"paritycheck: {failures} failing configs")
     print("paritycheck: all configs bitwise equal", file=sys.stderr)

@@ -404,7 +404,7 @@ def test_kernel_dg_fetch_bitwise():
         qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         outs = {}
         for lorder in (True, False):
-            for fetch in ("gdot", "dg", "dgs"):
+            for fetch in ("gdot", "dg", "dgs", "dgp"):
                 fn, Gk = make_pallas2_bucket_search(
                     E, n1, d2, c_par, r_seq, lorder, interpret=True,
                     rng_mode="supplied", lsoln=True, fetch=fetch,
@@ -419,7 +419,7 @@ def test_kernel_dg_fetch_bitwise():
                           qtv, qa, qb, t2flat, tpflat, dmflat, uni)
                 outs[(lorder, fetch)] = (np.asarray(s), np.asarray(m))
             s_ref, m_ref = outs[(lorder, "gdot")]
-            for v in ("dg", "dgs"):
+            for v in ("dg", "dgs", "dgp"):
                 s_dg, m_dg = outs[(lorder, v)]
                 np.testing.assert_array_equal(s_dg, s_ref,
                                               err_msg=f"{d2}:{v}")
@@ -459,7 +459,7 @@ def test_kernel_dg_fetch_bitwise_two_planes():
         dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
         qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         outs = {}
-        for fetch in ("gdot", "dg"):
+        for fetch in ("gdot", "dg", "dgp"):
             fn, Gk = make_pallas2_bucket_search(
                 E, n1, d2, c_par, r_seq, True, interpret=True,
                 rng_mode="supplied", lsoln=True, fetch=fetch, group=G)
@@ -468,10 +468,11 @@ def test_kernel_dg_fetch_bitwise_two_planes():
             s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv,
                       qa, qb, t2flat, tpflat, dmflat, uni)
             outs[fetch] = (np.asarray(s), np.asarray(m))
-        np.testing.assert_array_equal(outs["dg"][0], outs["gdot"][0],
-                                      err_msg=str(d2))
-        np.testing.assert_array_equal(outs["dg"][1], outs["gdot"][1],
-                                      err_msg=str(d2))
+        for v in ("dg", "dgp"):
+            np.testing.assert_array_equal(
+                outs[v][0], outs["gdot"][0], err_msg=f"{d2}:{v}")
+            np.testing.assert_array_equal(
+                outs[v][1], outs["gdot"][1], err_msg=f"{d2}:{v}")
 
 
 def test_packed_drain_roundtrip_all_dtypes():
@@ -525,9 +526,13 @@ def test_tuned_tables_cover_default_buckets():
     from cuda_satabsearch_tpu.io.pack import DEFAULT_BUCKETS
     from cuda_satabsearch_tpu.ops.pallas_sa2 import (TUNED_CONFIG,
                                                      TUNED_DG,
+                                                     TUNED_DGP,
                                                      choose_fetch)
 
     for cap in DEFAULT_BUCKETS:
         assert cap in TUNED_DG, cap
+        assert cap in TUNED_DGP, cap
         assert cap in TUNED_CONFIG, cap
-        assert choose_fetch(cap, None, 8) == "dg", cap
+        # round-5 adoption: the packed single-gather fetch for
+        # lane-fusable queries at every default width
+        assert choose_fetch(cap, None, 8) == "dgp", cap
