@@ -107,6 +107,21 @@ TUNED_DGP16: dict[int, int] = {8: 16, 16: 16, 24: 8, 32: 8, 40: 8,
                                48: 4, 56: 4, 64: 4, 72: 4, 80: 4,
                                88: 4, 96: 4, 104: 16, 112: 16}
 
+# dgp for FIVE-PLANE queries (n1r == 24, e.g. the 19-SSE d2phlb1):
+# HW sweep 2026-08-21 (scripts/sweep_dgp.py --n1 19) over the default
+# bucket widths — where plain dg had LOST outright (0.59-0.80x), the
+# packed gather WINS at 8-64 (1.21-1.40x); 80 ties (1.00x) and 112
+# loses (0.96x), so those widths keep the MXU one-hot fetch.  Queries
+# beyond 24 round8 slots (n1 > 24) stay MXU — unswept, and the query
+# plane count (and its VMEM) grows quadratically.
+TUNED_DGP24: dict[int, int] = {8: 16, 16: 16, 24: 8, 32: 8, 48: 4,
+                               64: 4}
+
+
+def _dgp_table(npl: int) -> dict:
+    """The HW-swept dgp adoption table for a query plane count."""
+    return {1: TUNED_DGP, 2: TUNED_DGP16, 5: TUNED_DGP24}.get(npl, {})
+
 
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
     """Entries per grid step (see TUNED_CONFIG; measured on real HW).
@@ -225,8 +240,7 @@ def choose_fetch(d2: int, group: int | None = None,
     """
     if n1r is not None:
         npl = dg_planes(n1r)
-        if (npl == 1 and d2 in TUNED_DGP) or (npl == 2
-                                              and d2 in TUNED_DGP16):
+        if d2 in _dgp_table(npl):
             return "dgp"
         if (npl == 1 and d2 in TUNED_DG) or (npl == 2
                                              and d2 in TUNED_DG16):
@@ -262,12 +276,12 @@ def effective_group(E: int, d2: int, n1: int, group: int | None = None,
     n1r = round8(n1)
     if fetch == "auto":
         fetch = choose_fetch(d2, None, n1r)
-    npl1 = dg_planes(n1r) == 1
+    npl = dg_planes(n1r)
     if group is None and fetch == "dgp":
-        group = ((TUNED_DGP if npl1 else TUNED_DGP16).get(d2)
-                 or (TUNED_DG if npl1 else TUNED_DG16).get(d2))
+        group = (_dgp_table(npl).get(d2)
+                 or (TUNED_DG if npl == 1 else TUNED_DG16).get(d2))
     if group is None and fetch in ("dg", "dgs"):
-        group = (TUNED_DG if npl1 else TUNED_DG16).get(d2)
+        group = (TUNED_DG if npl == 1 else TUNED_DG16).get(d2)
     G = min(group if group is not None else choose_group(d2, n1r), E)
     while E % G:
         G -= 1
@@ -360,7 +374,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     NPL = dg_planes(n1r) if dg else 0  # query-fetch lane planes
     assert not dgs or NPL == 1, (fetch, n1r)
     if group is None and dgp:
-        group = ((TUNED_DGP if NPL == 1 else TUNED_DGP16).get(d2)
+        group = (_dgp_table(NPL).get(d2)
                  or (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2))
     if group is None and dg:
         group = (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2)

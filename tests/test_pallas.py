@@ -475,6 +475,53 @@ def test_kernel_dg_fetch_bitwise_two_planes():
                 outs[v][1], outs["gdot"][1], err_msg=f"{d2}:{v}")
 
 
+def test_kernel_dgp_fetch_bitwise_five_planes():
+    """"dgp" with a five-plane query fetch (n1r == 24, e.g. the 19-SSE
+    d2phlb1 query) == the MXU one-hot fetch, bitwise — guards the
+    round-5 adoption of the packed gather beyond two planes."""
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        dg_planes, make_pallas2_bucket_search, make_qb2, make_qflat)
+
+    rng = np.random.default_rng(81)
+    n1, c_par, r_seq, E = 19, 16, 2, 4
+    n1r = round8(n1)
+    assert dg_planes(n1r) == 5
+    P = golden.uniforms_per_restart(n1)
+    for d2 in (24, 64):
+        entries = [random_entry(rng, int(n), f"e{i}") for i, n in
+                   enumerate(rng.integers(max(4, d2 - 8), d2 + 1,
+                                          size=E))]
+        for e in entries:
+            e.dmat[...] = np.asarray(
+                jnp.asarray(e.dmat).astype(jnp.bfloat16), np.float32)
+        query = pack_query(random_entry(rng, n1, "q"))
+        types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+        tab2p = np.stack([pack_tab(tabhi[i], tablo[i])
+                          for i in range(E)])
+        qtypes, _qtv, qtabp, qdmat = prepare_query(query, n1r)
+        G = 2
+        uni = jnp.asarray(np.random.default_rng(8).random(
+            (E // G, r_seq, P * G, 128)).astype(np.float32))
+        t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
+        tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
+        dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
+        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
+        outs = {}
+        for fetch in ("gdot", "dgp"):
+            fn, Gk = make_pallas2_bucket_search(
+                E, n1, d2, c_par, r_seq, True, interpret=True,
+                rng_mode="supplied", lsoln=True, fetch=fetch, group=G)
+            qa, qb = (make_qflat(qtabp, qdmat) if fn.qrep == "qflat"
+                      else make_qb2(qtabp, qdmat, G))
+            s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv,
+                      qa, qb, t2flat, tpflat, dmflat, uni)
+            outs[fetch] = (np.asarray(s), np.asarray(m))
+        np.testing.assert_array_equal(outs["dgp"][0], outs["gdot"][0],
+                                      err_msg=str(d2))
+        np.testing.assert_array_equal(outs["dgp"][1], outs["gdot"][1],
+                                      err_msg=str(d2))
+
+
 def test_packed_drain_roundtrip_all_dtypes():
     """_pack_out/_unpack_out round-trip exactly for every score/map
     dtype combination the derivations can produce (int8/int16/int32
