@@ -334,7 +334,10 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
         # ONE packed int8 output: scores + maps drain in a single D2H
         return _pack_out(scores_flat, maps_flat)
 
-    return jax.jit(f)
+    from ..core.aotcache import AotJit
+    return AotJit(f, ("db_fn2", chunk_shapes, n1r, c_par, r_seq, lorder,
+                      params, rng_mode, lsoln),
+                  enabled=mesh is None and not interpret)
 
 
 @functools.lru_cache(maxsize=None)
@@ -480,7 +483,10 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
         return _pack_out(scores, jnp.concatenate(out_m, axis=1).astype(
             _map_dtype(chunk_shapes)))
 
-    return jax.jit(f)
+    from ..core.aotcache import AotJit
+    return AotJit(f, ("db_fnK", chunk_shapes, n1r, K, c_par, r_seq,
+                      lorder, params, rng_mode, lsoln),
+                  enabled=mesh is None and not interpret)
 
 
 K_TILE = 64  # max queries per device program
