@@ -20,12 +20,12 @@ from __future__ import annotations
 
 import numpy as np
 
-# Measured single-chip sustained rates per bucket cap (M entry-it/s,
-# TPU v5 lite, dg kernel, scripts/sweep_dg.py — see PERF.md tuning
+# Measured single-chip rates per bucket cap (M entry-it/s, TPU v5
+# lite, round-5 dgp kernel, scripts/sweep_dgp.py — see PERF.md tuning
 # table).  Used to convert entry-iterations into estimated device time
 # so per-shard work is weighted by how SLOW its widths actually are.
-RATE_M_IT_S = {8: 1926.0, 16: 1296.0, 24: 1008.0, 32: 856.0,
-               48: 620.0, 64: 506.0, 80: 405.0, 112: 311.0}
+RATE_M_IT_S = {8: 1785.0, 16: 1466.0, 24: 1181.0, 32: 983.0,
+               48: 748.0, 64: 595.0, 80: 540.0, 112: 388.0}
 
 
 def _rate(dim: int) -> float:

@@ -946,8 +946,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 m_le = ki <= sseiq
                 sv = seg_max_q(jnp.where(m_le, smap_v, -1))
                 startj = jnp.where(sv >= 0, sv, n2col)
-                sw = jnp.where(smap_v < 0, BIG, smap_v)
-                ev = seg_min_q(jnp.where(m_le, BIG, sw))
+                # one fused mask: rows at-or-below ssei AND unmapped
+                # rows both map to the BIG sentinel for the min
+                ev = seg_min_q(jnp.where(m_le | (smap_v < 0), BIG,
+                                         smap_v))
                 endj = jnp.where(ssei == n1v - 1, n2col,
                                  jnp.where(ev < BIG, ev, -1))
             else:
@@ -960,6 +962,10 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                 cand = ((li >= rep_d(startj)) & (li < rep_d(endj))
                         & (types2 == rep_d(qt)) & (rmap_v < 0))
                 candf = cand.astype(F32)
+                # (count could be read from cum_seg's last in-segment
+                # element instead of a second reduce; interleaved HW
+                # A/B measured that EXACTLY neutral — the compiler
+                # already overlaps these — so the simpler form stays)
                 count = seg_sum_d(candf)  # [G, C]
                 rpick = ((u_cand - p.eps) * count).astype(I32)
                 cum = cum_seg(candf).astype(I32)
