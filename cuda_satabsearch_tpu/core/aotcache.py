@@ -60,6 +60,7 @@ def _source_salt() -> str:
         h.update(jax.__version__.encode())
         try:
             h.update(jax.devices()[0].device_kind.encode())
+            h.update(str(jax.device_count()).encode())
         except Exception:
             h.update(b"nodev")
         _SALT = h.hexdigest()[:16]
@@ -99,8 +100,25 @@ class AotJit:
             return self._compiled(*args)
         if self._fallback:
             return self._jit(*args)
+
+        path = self._path(args)
+        # a cached executable can deserialize fine yet still be stale
+        # (device topology change the key missed, toolchain quirk), so
+        # the FIRST call from cache is execution-guarded: any failure
+        # evicts the file and falls through to a clean rebuild
+        compiled = self._try_load(path)
+        if compiled is not None:
+            try:
+                out = compiled(*args)
+                self._compiled = compiled
+                return out
+            except Exception:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
         try:
-            self._compiled = self._load_or_compile(args)
+            self._compiled = self._compile_and_store(path, args)
         except Exception as e:  # pragma: no cover - env-dependent
             import sys
 
@@ -111,26 +129,34 @@ class AotJit:
             return self._jit(*args)
         return self._compiled(*args)
 
-    def _load_or_compile(self, args):
-        from jax.experimental.serialize_executable import (
-            deserialize_and_load, serialize)
-
+    def _path(self, args) -> str:
         h = hashlib.sha256()
         h.update(repr(self._key_parts).encode())
         h.update(_args_sig(args).encode())
         h.update(_source_salt().encode())
-        path = os.path.join(_cache_dir(), h.hexdigest()[:32] + ".aot")
+        return os.path.join(_cache_dir(), h.hexdigest()[:32] + ".aot")
 
-        if os.path.exists(path):
+    @staticmethod
+    def _try_load(path):
+        if not os.path.exists(path):
+            return None
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load)
+
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            return deserialize_and_load(payload, in_tree, out_tree)
+        except Exception:
             try:
-                with open(path, "rb") as fh:
-                    payload, in_tree, out_tree = pickle.load(fh)
-                return deserialize_and_load(payload, in_tree, out_tree)
-            except Exception:
-                try:
-                    os.unlink(path)  # corrupt/stale: rebuild below
-                except OSError:
-                    pass
+                os.unlink(path)  # corrupt/stale: rebuild
+            except OSError:
+                pass
+            return None
+
+    def _compile_and_store(self, path, args):
+        from jax.experimental.serialize_executable import serialize
+
         compiled = self._jit.lower(*args).compile()
         try:
             payload, in_tree, out_tree = serialize(compiled)

@@ -583,3 +583,46 @@ def test_tuned_tables_cover_default_buckets():
         # round-5 adoption: the packed single-gather fetch for
         # lane-fusable queries at every default width
         assert choose_fetch(cap, None, 8) == "dgp", cap
+
+
+def test_aot_cache_roundtrip(tmp_path, monkeypatch):
+    """AotJit stores a serialized executable on first call and a fresh
+    instance with the same key loads it from disk (the sub-second
+    warm-process startup path); corrupt cache files fall back to a
+    clean rebuild."""
+    import cuda_satabsearch_tpu.core.aotcache as ac
+
+    monkeypatch.setenv("SATAB_AOT_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("SATAB_NO_AOT_CACHE", raising=False)
+
+    def f(x, y):
+        return (x * 2 + y).sum()
+
+    args = (jnp.arange(8, dtype=jnp.float32),
+            jnp.ones((8,), jnp.float32))
+    a = ac.AotJit(f, ("test_fn", 1))
+    out1 = np.asarray(a(*args))
+    files = list(tmp_path.glob("*.aot"))
+    if not files:
+        # backend cannot serialize executables — the wrapper must have
+        # fallen back to plain jit and still computed correctly
+        assert a._fallback or a._compiled is not None
+        np.testing.assert_allclose(out1, 2 * np.arange(8).sum() + 8)
+        return
+    assert len(files) == 1
+
+    b = ac.AotJit(f, ("test_fn", 1))
+    out2 = np.asarray(b(*args))
+    np.testing.assert_array_equal(out1, out2)
+    assert b._compiled is not None and not b._fallback
+
+    # different key -> second cache entry, not a false hit
+    c = ac.AotJit(f, ("test_fn", 2))
+    np.asarray(c(*args))
+    assert len(list(tmp_path.glob("*.aot"))) == 2
+
+    # corrupt entry: load fails, file is replaced, result still right
+    files[0].write_bytes(b"garbage")
+    d = ac.AotJit(f, ("test_fn", 1))
+    out3 = np.asarray(d(*args))
+    np.testing.assert_array_equal(out1, out3)
