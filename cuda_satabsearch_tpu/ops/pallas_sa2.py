@@ -300,7 +300,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                cumb: int | None = None,
                                nq: int = 1,
                                batched_api: bool = False,
-                               knock: frozenset = frozenset()):
+                               knock: frozenset = frozenset(),
+                               unroll: int = 1):
     """Build the grouped pallas_call for an E-entry chunk (G | E).
 
     The kernel is specialized on ``round8(n1)`` ONLY: the exact query
@@ -1052,7 +1053,21 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
             revmap[...] = jnp.where((li == newd) & accd, sseid, rmap_new)
             return temp * p.alpha
 
-        lax.fori_loop(0, maxiter, iter_body, jnp.full((), p.temp0, F32))
+        # ``unroll``: annealing iterations inlined per loop step (the
+        # iterations are data-dependent, so this only trims loop
+        # overhead / enables instruction overlap, never reorders work;
+        # manual unroll — Mosaic's fori_loop supports only 1 or full)
+        if unroll > 1 and maxiter % unroll == 0:
+            def iter_body_u(j, temp):
+                for k in range(unroll):
+                    temp = iter_body(j * unroll + k, temp)
+                return temp
+
+            lax.fori_loop(0, maxiter // unroll, iter_body_u,
+                          jnp.full((), p.temp0, F32))
+        else:
+            lax.fori_loop(0, maxiter, iter_body,
+                          jnp.full((), p.temp0, F32))
 
         # ---- final per-entry reduction over chains
         @pl.when(r == r_seq - 1)

@@ -626,3 +626,44 @@ def test_aot_cache_roundtrip(tmp_path, monkeypatch):
     d = ac.AotJit(f, ("test_fn", 1))
     out3 = np.asarray(d(*args))
     np.testing.assert_array_equal(out1, out3)
+
+
+def test_kernel_unroll_bitwise():
+    """unroll=2 (manual partial unroll of the annealing loop) is
+    bitwise-identical to the rolled loop — the knob only trims loop
+    control, never reorders the RNG slot schedule."""
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        make_pallas2_bucket_search, make_qflat)
+
+    rng = np.random.default_rng(83)
+    n1, c_par, r_seq, E, d2 = 7, 16, 2, 4, 16
+    n1r = round8(n1)
+    P = golden.uniforms_per_restart(n1)
+    entries = [random_entry(rng, int(n), f"e{i}") for i, n in
+               enumerate(rng.integers(8, d2 + 1, size=E))]
+    for e in entries:
+        e.dmat[...] = np.asarray(
+            jnp.asarray(e.dmat).astype(jnp.bfloat16), np.float32)
+    query = pack_query(random_entry(rng, n1, "q"))
+    types, tabhi, tablo, dmat, orders = _bucket_arrays(entries, d2)
+    tab2p = np.stack([pack_tab(tabhi[i], tablo[i]) for i in range(E)])
+    qtypes, _qtv, qtabp, qdmat = prepare_query(query, n1r)
+    G = 2
+    uni = jnp.asarray(np.random.default_rng(9).random(
+        (E // G, r_seq, P * G, 128)).astype(np.float32))
+    t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
+    tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
+    dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
+    qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
+    outs = {}
+    for unroll in (1, 2):
+        fn, _G = make_pallas2_bucket_search(
+            E, n1, d2, c_par, r_seq, True, interpret=True,
+            rng_mode="supplied", lsoln=True, fetch="dgp", group=G,
+            unroll=unroll)
+        qa, qb = make_qflat(qtabp, qdmat)
+        s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv, qa,
+                  qb, t2flat, tpflat, dmflat, uni)
+        outs[unroll] = (np.asarray(s), np.asarray(m))
+    np.testing.assert_array_equal(outs[2][0], outs[1][0])
+    np.testing.assert_array_equal(outs[2][1], outs[1][1])
