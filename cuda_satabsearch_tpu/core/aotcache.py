@@ -59,8 +59,19 @@ def _source_salt() -> str:
                 h.update(rel.encode())
         h.update(jax.__version__.encode())
         try:
-            h.update(jax.devices()[0].device_kind.encode())
+            import jaxlib
+
+            h.update(jaxlib.__version__.encode())
+        except Exception:
+            h.update(b"nojaxlib")
+        try:
+            dev = jax.devices()[0]
+            h.update(dev.device_kind.encode())
             h.update(str(jax.device_count()).encode())
+            # platform_version carries the runtime (libtpu) build —
+            # the staleness source a pure jax version check misses
+            h.update(str(getattr(dev.client, "platform_version",
+                                 "")).encode())
         except Exception:
             h.update(b"nodev")
         _SALT = h.hexdigest()[:16]
@@ -110,6 +121,17 @@ class AotJit:
         if compiled is not None:
             try:
                 out = compiled(*args)
+                # JAX dispatch is async: a stale executable can fail
+                # AFTER this call returns, at the caller's drain, where
+                # no eviction happens.  Force completion of ONE output
+                # element (a single-element D2H) before adopting the
+                # cached executable, so staleness surfaces HERE and
+                # evicts the file.
+                import jax as _jax
+                import numpy as _np
+
+                leaf = _jax.tree_util.tree_leaves(out)[0]
+                _np.asarray(leaf.ravel()[:1])
                 self._compiled = compiled
                 return out
             except Exception:
@@ -128,6 +150,11 @@ class AotJit:
             self._fallback = True
             return self._jit(*args)
         return self._compiled(*args)
+
+    def lower(self, *args):
+        """Pass-through to the wrapped jit's lower() (measurement
+        scripts use it to split trace from compile)."""
+        return self._jit.lower(*args)
 
     def _path(self, args) -> str:
         h = hashlib.sha256()

@@ -262,17 +262,17 @@ def choose_cum(d2: int) -> str:
     return "mxu" if d2 >= 24 else "roll"
 
 
-@functools.lru_cache(maxsize=None)
 def effective_group(E: int, d2: int, n1: int, group: int | None = None,
                     fetch: str = "auto") -> int:
     """The entry-group size ``make_pallas2_bucket_search(E, n1, d2,
     ..., fetch, group)`` will actually run with: the tuned preference,
-    clamped to E and then to E's largest divisor.  Exposed so mesh
-    dispatch can assert a sharded build (local E/ndev entries) lands on
-    the SAME G as the unsharded one — G seeds the group-leader pltpu
-    RNG streams, so a silent G-fallback difference between the two
-    builds would break sharded==unsharded bitwise parity without any
-    error (see pallas_search._make_db_fnK/_make_db_fn2)."""
+    clamped to E and then to E's largest divisor.  This is the SINGLE
+    source of the G pick — the kernel factory calls it, and mesh
+    dispatch uses it to assert a sharded build (local E/ndev entries)
+    lands on the SAME G as the unsharded one: G seeds the group-leader
+    pltpu RNG streams, so a silent G-fallback difference between the
+    two builds would break sharded==unsharded bitwise parity without
+    any error (see pallas_search._make_db_fnK/_make_db_fn2)."""
     n1r = round8(n1)
     if fetch == "auto":
         fetch = choose_fetch(d2, None, n1r)
@@ -288,6 +288,7 @@ def effective_group(E: int, d2: int, n1: int, group: int | None = None,
     return G
 
 
+@functools.lru_cache(maxsize=None)
 def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                                r_seq: int, lorder: bool,
                                params: SAParams = DEFAULTS,
@@ -374,24 +375,16 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     dg = fetch == "dg" or dgs or dgp
     NPL = dg_planes(n1r) if dg else 0  # query-fetch lane planes
     assert not dgs or NPL == 1, (fetch, n1r)
-    if group is None and dgp:
-        group = (_dgp_table(NPL).get(d2)
-                 or (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2))
-    if group is None and dg:
-        group = (TUNED_DG if NPL == 1 else TUNED_DG16).get(d2)
-    G = min(group if group is not None else choose_group(d2, n1r), E)
+    # the G pick lives in effective_group — the SAME function mesh
+    # dispatch consults for its sharded==unsharded G assert, so the
+    # two can never drift
+    G = effective_group(E, d2, n1, _group_arg, _fetch_arg)
     if auto_fetch and not dg:
         fetch = choose_fetch(d2, G)  # group-aware bd<k> adjustment
     if cum == "auto":
         cum = "mxu" if dg else choose_cum(d2)  # dg sweep: mxu won
         # at every width
-    while E % G:  # fall back to the largest divisor of E at or below
-        G -= 1   # the tuned preference (chunks are padded to pow2/16x)
     assert E % G == 0, (E, G)
-    # keep the exported predictor in lockstep with this pick (mesh
-    # dispatch relies on it for the sharded==unsharded G assert)
-    assert G == effective_group(E, d2, n1, _group_arg, _fetch_arg), \
-        (G, E, d2, n1, _group_arg, _fetch_arg)
     EG = E // G
     C = C_LANES
     NEG = p.maxscore_init

@@ -143,6 +143,9 @@ def write_html(out: TextIO, hits, dominfo: dict | None = None) -> None:
     hits absent from it get empty classification cells instead of the
     reference's KeyError.
     """
+    import html as _html
+    from urllib.parse import quote as _q
+
     dominfo = dominfo or {}
     out.write('<html>\n')
     out.write('<link rel="stylesheet" href="/pro-origami/style.css" />\n')
@@ -153,13 +156,17 @@ def write_html(out: TextIO, hits, dominfo: dict | None = None) -> None:
         sel = ",".join(str(j) for _i, j in hit.ssemap) or "none"
         sf_sccs, sf_desc, fold_sccs, fold_desc = dominfo.get(
             hit.name, ("", "", "", ""))
+        name_h = _html.escape(hit.name)
         out.write(
-            f'<tr><td>{hit.score:g} '
-            f'<td><a href="{_CARTOON % (hit.name, sel)}">{hit.name}</a>'
-            f'<td><a href="{_SCOP_SEARCH}?sid={hit.name}">{hit.name}</a>'
-            f'<td><a href="{_SCOP_SEARCH}?sccs={sf_sccs}">{sf_sccs} '
-            f'{sf_desc}'
-            f'<td><a href="{_SCOP_SEARCH}?sccs={fold_sccs}">{fold_desc}'
+            f'<tr><td>{hit.score:g}</td> '
+            f'<td><a href="{_CARTOON % (_q(hit.name), sel)}">'
+            f'{name_h}</a></td>'
+            f'<td><a href="{_SCOP_SEARCH}?sid={_q(hit.name)}">'
+            f'{name_h}</a></td>'
+            f'<td><a href="{_SCOP_SEARCH}?sccs={_q(sf_sccs)}">'
+            f'{_html.escape(sf_sccs)} {_html.escape(sf_desc)}</a></td>'
+            f'<td><a href="{_SCOP_SEARCH}?sccs={_q(fold_sccs)}">'
+            f'{_html.escape(fold_desc)}</a></td>'
             f'</tr>\n')
     out.write('</table>\n</div>\n</html>\n')
 

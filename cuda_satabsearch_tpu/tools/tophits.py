@@ -44,11 +44,9 @@ def find_structure(sid: str, roots, flat_dirs) -> str | None:
 
 
 def _read_text(path: str) -> str:
-    if path.endswith(".gz"):
-        import gzip
-        with gzip.open(path, "rt") as fh:
-            return fh.read()
-    with open(path) as fh:
+    from ..build.pdbfile import _open  # shared gz-aware opener
+
+    with _open(path) as fh:
         return fh.read()
 
 

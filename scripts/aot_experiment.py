@@ -89,8 +89,7 @@ def main():
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = compiled(*args[:2], args[2], *args[3:6], args[6]) \
-        if False else compiled(*args)
+    out = compiled(*args)
     jax.tree.map(np.asarray, out)
     t_first = time.perf_counter() - t0
     print(f"fn build {t_build:.2f} s | trace+lower {t_trace:.2f} s | "
