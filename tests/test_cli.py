@@ -202,3 +202,18 @@ def test_missing_dbfile_errors_fast(monkeypatch, capsys):
                            monkeypatch, capsys)
     assert rc == 1
     assert "ERROR" in err
+
+
+def test_cli_mesh_flag_bitwise_vs_unsharded(monkeypatch, capsys):
+    """--mesh (entry axis sharded over all visible devices — here the
+    virtual 8-device CPU mesh) produces byte-identical output to the
+    unsharded run: the user-facing face of the sharded==unsharded
+    bitwise guarantee."""
+    stdin_text = read_fixture("d1ubia_.input")
+    rc1, out1, _ = run_cli(["-r", "16"], stdin_text, monkeypatch, capsys)
+    rc2, out2, _ = run_cli(["-r", "16", "--mesh"], stdin_text,
+                           monkeypatch, capsys)
+    assert rc1 == 0 and rc2 == 0
+    strip = [ln for ln in out1.splitlines() if not ln.startswith("#")]
+    strip2 = [ln for ln in out2.splitlines() if not ln.startswith("#")]
+    assert strip and strip == strip2
