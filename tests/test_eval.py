@@ -517,3 +517,76 @@ def test_db_names_keeps_float_looking_ids(tmp_path):
         " 1.000 \n"
         " 9.000  1.000 \n")
     assert _db_names(str(db)) == ["1e50", "d1ubqa_", "2e28"]
+
+
+def test_slrtabs_to_star(tmp_path):
+    from cuda_satabsearch_tpu.eval.tables import slrtabs_to_star
+
+    (tmp_path / "a.slrtab").write_text("5.0 1\n3.0 0\n2.0 1\n1.0 0\n")
+    (tmp_path / "b.slrtab").write_text("9.0 1\n8.0 0\n")
+    pos = tmp_path / "positives.dat"
+    neg = tmp_path / "negatives.dat"
+    slrtabs_to_star([("Method A", str(tmp_path / "a.slrtab")),
+                     ("Method B", str(tmp_path / "b.slrtab"))],
+                    str(pos), str(neg))
+    plines = pos.read_text().splitlines()
+    assert plines[0] == "Method A\tMethod B"
+    assert plines[1] == "5.0\t9.0"
+    # uneven method lengths pad with empty cells instead of crashing
+    # (the reference's own FIXME at slrtabs2star.py:122)
+    assert plines[2] == "2.0\t"
+    nlines = neg.read_text().splitlines()
+    assert nlines[1] == "3.0\t8.0"
+    assert nlines[2] == "1.0\t"
+
+
+def test_star_auc_table():
+    import io as _io
+
+    from cuda_satabsearch_tpu.eval.tables import star_auc_table
+
+    # 3-method StAR results.txt: delta-AUC upper / p-value lower
+    results = ('\t"A"\t"B"\t"C"\n'
+               '"A"\t0\t0.05\t0.01\n'
+               '"B"\t0.001\t0\t0.02\n'
+               '"C"\t0.9\t0.4\t0\n')
+    ci = ("pair\tdelta\tci\n"
+          '"A"/"B"\t-0.05\t( -0.06 , -0.04 )\n'
+          '"A"/"C"\t0.01\t( -0.005 , 0.025 )\n')
+    rows = star_auc_table(_io.StringIO(results), _io.StringIO(ci), "A")
+    # B differs significantly (p=0.001 < 0.05), C does not (p=0.9)
+    assert rows[0].startswith("B\t0.0500\t0.001\t-0.0500")
+    assert rows[1].startswith("A, C\t0.000")
+
+
+def test_timer_table(tmp_path):
+    import io as _io
+
+    from cuda_satabsearch_tpu.eval.tables import timer_table
+
+    db = tmp_path / "db.ascii"
+    db.write_text("d1aaaa_ 5\n0.0\nd2bbbb_ 7\n0.0\n")
+    (tmp_path / "d1qqqq_.input").write_text("db.ascii\nT T F\n"
+                                            "d1qqqq_ 9\n")
+    stream = ("# QUERY ID = D1QQQQ_\n"
+              f"# DBFILE = {db}\n"
+              "d1aaaa_ 42 1.25\n"
+              "d2bbbb_ 17 0.75\n")
+    out = _io.StringIO()
+    timer_table(_io.StringIO(stream), str(tmp_path), out)
+    lines = [ln for ln in out.getvalue().splitlines()
+             if not ln.startswith("#")]
+    assert lines[0] == "queryid dbid querysses dbsses score cputime"
+    assert lines[1] == "d1qqqq_ d1aaaa_ 9 5 42 1.25"
+    assert lines[2] == "d1qqqq_ d2bbbb_ 9 7 17 0.75"
+
+
+def test_sum_elapsed():
+    from cuda_satabsearch_tpu.eval.tables import sum_elapsed
+
+    texts = ["blah 123user 4.5system 2:05.50elapsed 99%CPU\n",
+             "first 0:30.00elapsed\nthen 1:02:03elapsed more\n"]
+    # 125.5 s + 3723 s = 3848.5 -> 3849 s = 1 h 4 m 9 s
+    assert sum_elapsed(texts) == "1 h 4 m 9 s"
+    assert sum_elapsed(texts, "ms") == "64 m 9 s"
+    assert sum_elapsed(texts, "hm") == "1 h 4 m"
