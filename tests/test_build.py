@@ -521,3 +521,30 @@ def test_full_entry_assembly_matches_reference_oracle():
                 assert (ours.tabhi[j, i], ours.tablo[j, i]) == (hi, lo)
                 pair_checked += 1
     assert pair_checked >= 100 and nan_checked >= 2
+
+
+def test_mfile_axis_plot(tmp_path):
+    """ptmfile twin: the .m plot script carries every SSE's trace, the
+    fitted axis through the centroid, and the reference's marker
+    scheme (red/cyan strands, magenta + 'rx' midpoints for helices)."""
+    import io
+
+    from cuda_satabsearch_tpu.build.builder import extract_sses
+    from cuda_satabsearch_tpu.build.mfile import write_structure_mfile
+
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    sses = extract_sses(read_pdb(str(pdb_path)))
+    assert sses
+    buf = io.StringIO()
+    write_structure_mfile(buf, sses, note="test")
+    m = buf.getvalue()
+    assert m.startswith("% Generated by")
+    assert m.count("hold on") == 1 and m.strip().endswith("hold off")
+    # one trace plot per SSE, one axis line + direction marker each
+    assert m.count("plot3(A(:,1),A(:,2),A(:,3)") == len(sses)
+    assert m.count("plot3(l(:,1), l(:,2), l(:,3),'c');") == len(sses)
+    assert m.count("plot3(d(1), d(2), d(3), 'r*');") == len(sses)
+    helices = sum(1 for s in sses if s.kind != "E")
+    assert m.count("'rx'") == helices
+    assert m.count("text(") == len(sses)
