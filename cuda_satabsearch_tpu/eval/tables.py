@@ -196,6 +196,77 @@ def timer_table(fh: TextIO, input_dir: str, out: TextIO,
                       f"{dbsses.get(dbid, '?')} {score} {cputime}\n")
 
 
+def star_auc_latex(rows: list[str], include_p: bool = True
+                   ) -> list[str]:
+    """star2auctable rows -> the LaTeX tabular of starauctable2tex.sh
+    (sorted ascending by signed delta-AUC, its GNU `sort -k4,4n`;
+    p-value column optional via -n)."""
+    out = [r"{\begin{tabular}{lrr}  \hline" if include_p
+           else r"{\begin{tabular}{lr}  \hline"]
+    out.append(r"Method(s) & $\Delta\mathrm{AUC}$"
+               + (r" & p-value \\" if include_p else r" \\"))
+    out.append(r"\hline")
+    for row in sorted(rows, key=lambda r: float(r.split("\t")[3])):
+        c = row.split("\t")
+        if include_p:
+            out.append(f"{c[0]:<40s} & {c[3]} & {c[2]} \\\\")
+        else:
+            out.append(f"{c[0]:<40s} & {c[3]}  \\\\")
+    out.append(r"\hline")
+    out.append(r"\end{tabular}}")
+    return out
+
+
+def merge_output(dir1: str, dir2: str, out: TextIO) -> None:
+    """Join two result directories of 2-col '<qid>.out' files into
+    'queryid dbid score1 score2' rows (mergeoutput.sh:40-56: inner
+    join on dbid per query, '#' comments and ERROR lines dropped) —
+    the large-scale method-vs-method score comparison input."""
+    import glob
+    import os
+
+    def load(path):
+        d = {}
+        with open(path) as fh:
+            for line in fh:
+                if line.startswith("#") or "ERROR" in line:
+                    continue
+                parts = line.split()
+                if len(parts) >= 2:
+                    d[parts[0]] = parts[1]
+        return d
+
+    for qpfile in sorted(glob.glob(os.path.join(dir1, "*.out"))):
+        qid = os.path.basename(qpfile)[:-4]
+        other = os.path.join(dir2, qid + ".out")
+        if not os.path.isfile(other):
+            continue
+        s1, s2 = load(qpfile), load(other)
+        for dbid in sorted(set(s1) & set(s2)):
+            out.write(f"{qid} {dbid} {s1[dbid]} {s2[dbid]}\n")
+
+
+def result_rank(fh: TextIO, target: str) -> tuple[int, int]:
+    """(rank, total) of ``target`` among a result file's hits sorted
+    ascending by score (getrank.sh: its `sort -k2,2n | grep -n`
+    convention — rank 1 is the WORST score; '#' comments skipped)."""
+    rows = []
+    for line in fh:
+        if line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) >= 2:
+            try:
+                rows.append((float(parts[1]), parts[0]))
+            except ValueError:
+                continue
+    rows.sort(key=lambda r: r[0])
+    for i, (_s, name) in enumerate(rows, 1):
+        if target.lower() in name.lower():
+            return i, len(rows)
+    raise ValueError(f"{target} not found among {len(rows)} results")
+
+
 _ELAPSED_RE = re.compile(
     r"(?:(\d+):)?(\d+):(\d+(?:\.\d+)?)\s*elapsed")
 
@@ -245,6 +316,20 @@ def main(argv=None) -> int:
     p2.add_argument("conf_intervals")
     p2.add_argument("reference")
     p2.add_argument("-p", type=float, default=0.05)
+    p2.add_argument("--latex", action="store_true",
+                    help="emit the starauctable2tex.sh LaTeX tabular")
+    p2.add_argument("-n", dest="nop", action="store_true",
+                    help="omit the p-value column (LaTeX mode)")
+
+    p5 = sub.add_parser("merge", help="join two result dirs of "
+                        "<qid>.out files into 'qid dbid s1 s2' rows")
+    p5.add_argument("dir1")
+    p5.add_argument("dir2")
+
+    p6 = sub.add_parser("rank", help="rank of a target id in a result "
+                        "file (getrank.sh)")
+    p6.add_argument("target")
+    p6.add_argument("resultsfile")
 
     p3 = sub.add_parser("timertab", help="'-t' timing output (stdin) "
                         "-> R table")
@@ -269,9 +354,17 @@ def main(argv=None) -> int:
     elif args.cmd == "auctable":
         with open(args.results) as rfh, \
                 open(args.conf_intervals) as cfh:
-            for row in star_auc_table(rfh, cfh, args.reference,
-                                      args.p):
-                print(row)
+            rows = star_auc_table(rfh, cfh, args.reference, args.p)
+        if args.latex:
+            rows = star_auc_latex(rows, include_p=not args.nop)
+        for row in rows:
+            print(row)
+    elif args.cmd == "merge":
+        merge_output(args.dir1, args.dir2, sys.stdout)
+    elif args.cmd == "rank":
+        with open(args.resultsfile) as fh:
+            rank, total = result_rank(fh, args.target)
+        print(f"{rank}/{total} ({100.0 * rank / total:.0f}%)")
     elif args.cmd == "timertab":
         timer_table(sys.stdin, args.input_dir, sys.stdout,
                     dbfile=args.dbfile)

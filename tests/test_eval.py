@@ -590,3 +590,35 @@ def test_sum_elapsed():
     assert sum_elapsed(texts) == "1 h 4 m 9 s"
     assert sum_elapsed(texts, "ms") == "64 m 9 s"
     assert sum_elapsed(texts, "hm") == "1 h 4 m"
+
+
+def test_star_auc_latex_and_merge_and_rank(tmp_path):
+    import io as _io
+
+    from cuda_satabsearch_tpu.eval.tables import (merge_output,
+                                                  result_rank,
+                                                  star_auc_latex)
+
+    rows = ["B\t0.0500\t0.001\t-0.0500",
+            "A, C\t0.000\t0.05\t0.000"]
+    tex = star_auc_latex(rows)
+    assert tex[0].startswith(r"{\begin{tabular}{lrr}")
+    # sorted ascending by signed delta: B (-0.05) before A, C (0)
+    assert tex.index(next(t for t in tex if t.startswith("B "))) < \
+        tex.index(next(t for t in tex if t.startswith("A, C")))
+    assert tex[-1] == r"\end{tabular}}"
+    tex_np = star_auc_latex(rows, include_p=False)
+    assert "p-value" not in "\n".join(tex_np)
+
+    d1 = tmp_path / "m1"
+    d2 = tmp_path / "m2"
+    d1.mkdir(); d2.mkdir()
+    (d1 / "d1q__.out").write_text("# hdr\nd1a__ 5\nd1b__ 3\nd1c__ 1\n")
+    (d2 / "d1q__.out").write_text("d1b__ 30\nd1a__ 50\nbad ERROR\n")
+    out = _io.StringIO()
+    merge_output(str(d1), str(d2), out)
+    assert out.getvalue().splitlines() == ["d1q__ d1a__ 5 50",
+                                           "d1q__ d1b__ 3 30"]
+
+    res = _io.StringIO("# c\nd1a__ 5 x\nd1b__ 9 x\nd1c__ 1 x\n")
+    assert result_rank(res, "d1b__") == (3, 3)  # ascending: best=last
