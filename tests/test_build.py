@@ -548,3 +548,34 @@ def test_mfile_axis_plot(tmp_path):
     helices = sum(1 for s in sses if s.kind != "E")
     assert m.count("'rx'") == helices
     assert m.count("text(") == len(sses)
+
+
+def test_domain_eval_overlap():
+    """domeval twin: Jones-1998 overlap, best correspondence over
+    domain orderings, undercut/overcut failure classes, non-disjoint
+    rejection (domeval.py:51-169 semantics)."""
+    from cuda_satabsearch_tpu.build.domains import Domain, Segment
+    from cuda_satabsearch_tpu.build.domeval import (domain_eval,
+                                                    overlap_score)
+
+    def dom(*ranges):
+        return Domain("d", [Segment("A", a, b) for a, b in ranges])
+
+    ref = [dom((1, 50)), dom((51, 100))]
+    # identical decomposition, domains listed in the OTHER order:
+    # correspondence search must find the permutation -> score 1.0
+    test = [dom((51, 100)), dom((1, 50))]
+    assert overlap_score(test, ref) == 1.0
+
+    # boundary shifted by 10 residues: 90/100 agree
+    test2 = [dom((1, 60)), dom((61, 100))]
+    assert abs(overlap_score(test2, ref) - 0.9) < 1e-12
+
+    # overlapping (non-disjoint) prediction scores 0
+    test3 = [dom((1, 60)), dom((50, 100))]
+    assert overlap_score(test3, ref) == 0.0
+
+    assert domain_eval([dom((1, 100))], ref) == ("undercut", 0.0)
+    assert domain_eval(ref + [dom((1, 5))], ref) == ("overcut", 0.0)
+    desc, score = domain_eval(test2, ref)
+    assert desc == "correct" and abs(score - 0.9) < 1e-12
