@@ -128,3 +128,28 @@ def read_pdb(path: str, pdbid: str | None = None) -> PDBStructure:
                 break  # first model only
     return PDBStructure(pdbid=name or "unknown", chains=chains,
                         helices=helices, strands=strands)
+
+
+def select_chain_text(text: str, chainid: str) -> str:
+    """PDB text restricted to one chain (select_pdb_chain.py twin —
+    the reference round-trips through Bio.PDB's PDBIO with a chain
+    Select; here the coordinate records are filtered directly):
+    ATOM/HETATM/TER/ANISOU records keep only the requested chain
+    (column 22, case-insensitive), HELIX/SHEET annotations likewise
+    (their own chain columns), other records pass through."""
+    want = chainid.upper()
+    out = []
+    for line in text.splitlines(keepends=True):
+        rec = line[:6]
+        if rec in ("ATOM  ", "HETATM", "ANISOU") or rec.startswith(
+                "TER"):
+            if len(line) > 21 and line[21].upper() != want:
+                continue
+        elif rec == "HELIX ":
+            if len(line) > 19 and line[19].upper() != want:
+                continue
+        elif rec == "SHEET ":
+            if len(line) > 21 and line[21].upper() != want:
+                continue
+        out.append(line)
+    return "".join(out)

@@ -142,6 +142,11 @@ def write_html(out: TextIO, hits, dominfo: dict | None = None) -> None:
     eval.scop.dominfo_dict (the reference's pickled scopdominfo cache);
     hits absent from it get empty classification cells instead of the
     reference's KeyError.
+
+    Plain 2-col 'id score' output parses to hits with EMPTY SSE maps
+    (selsses=none), which makes this writer double as the
+    out2col2html.py / out2col2htmlscop.py twin for arbitrary search
+    output, not just LSOLN streams.
     """
     import html as _html
     from urllib.parse import quote as _q

@@ -579,3 +579,31 @@ def test_domain_eval_overlap():
     assert domain_eval(ref + [dom((1, 5))], ref) == ("overcut", 0.0)
     desc, score = domain_eval(test2, ref)
     assert desc == "correct" and abs(score - 0.9) < 1e-12
+
+
+def test_select_chain_text(tmp_path):
+    """select_pdb_chain twin: only the requested chain's coordinate
+    and SSE-annotation records survive; case-insensitive."""
+    from cuda_satabsearch_tpu.build.pdbfile import select_chain_text
+
+    text = make_synthetic_pdb()
+    # duplicate the structure as chain B to make a 2-chain file
+    lines = []
+    for ln in text.splitlines(keepends=True):
+        lines.append(ln)
+        if ln[:6] in ("ATOM  ",) and len(ln) > 21:
+            lines.append(ln[:21] + "B" + ln[22:])
+        elif ln.startswith("HELIX") and len(ln) > 19:
+            lines.append(ln[:19] + "B" + ln[20:])
+    two = "".join(lines)
+    only_a = select_chain_text(two, "a")
+    assert "ATOM" in only_a
+    for ln in only_a.splitlines():
+        if ln[:6] in ("ATOM  ", "HETATM") and len(ln) > 21:
+            assert ln[21] == "A"
+        if ln.startswith("HELIX") and len(ln) > 19:
+            assert ln[19] == "A"
+    # the selected-chain file still builds a tableau entry
+    p = tmp_path / "a.pdb"
+    p.write_text(only_a)
+    assert build_entry(read_pdb(str(p)), name="a") is not None

@@ -185,3 +185,22 @@ def test_ssemap_html_cli(tmp_path, capsys):
     html = capsys.readouterr().out
     assert "d1ndda_" in html and "d2xyz__" in html
     assert "<table>" in html
+
+
+def test_write_html_from_plain_two_col_output():
+    """A plain 2-col 'id score' stream (no LSOLN pairs) flows through
+    the same parser + HTML writer — the out2col2html.py /
+    out2col2htmlscop.py surface: empty SSE maps emit selsses=none."""
+    import io as _io
+
+    from cuda_satabsearch_tpu.tools.ssemap import (iter_ssemap_output,
+                                                   write_html)
+
+    stream = "# QUERY ID = D1UBIA_\nd1hita_ 42\nd2lowa_ 7\n"
+    hits = list(iter_ssemap_output(_io.StringIO(stream)))
+    assert all(h.ssemap == [] for h in hits)
+    buf = _io.StringIO()
+    write_html(buf, hits)
+    html = buf.getvalue()
+    assert "selsses=none" in html
+    assert html.index("d1hita_") < html.index("d2lowa_")
