@@ -62,6 +62,15 @@ def main(argv=None) -> int:
                          "the permutation is printed to stderr for "
                          "remapping with tools.remap_permutation")
     ap.add_argument("--permute-seed", type=int, default=0)
+    ap.add_argument("-n", dest="numeric", action="store_true",
+                    help="emit the numeric Omega (radians) matrix "
+                         "instead of the discrete tableau "
+                         "(pytableaucreate -n; FORTRAN lower-triangle "
+                         "layout)")
+    ap.add_argument("--degrees", action="store_true",
+                    help="with -n: full-square degrees layout (the "
+                         "original TableauCreator .angles format, "
+                         "pytableaucreate -e)")
     ap.add_argument("-t", dest="secstruct", default="pdb",
                     choices=("pdb", "dssp", "stride"),
                     help="SSE assignment source (buildtableauxdb -t): "
@@ -76,6 +85,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.domains != "none" and (args.sse_ids or args.permute):
         ap.error("-p cannot be combined with --sse-ids/-u")
+    if args.numeric and args.domains != "none":
+        ap.error("-n cannot be combined with -p")
     sse_id_list = ([int(x) for x in args.sse_ids.split(",")]
                    if args.sse_ids else None)
 
@@ -150,6 +161,39 @@ def main(argv=None) -> int:
 
     out = open(args.output, "w") if args.output else sys.stdout
     try:
+        if args.numeric:
+            # numeric mode re-walks the same structures: emit
+            # 'name order' headers + omega matrices (mknumerictab.sh
+            # family; entry assembly above validated the inputs)
+            from .builder import build_omega_matrix, extract_sses
+            for path in files:
+                try:
+                    if args.secstruct != "pdb":
+                        from .secstruct import read_pdb_with_secstruct
+                        struct = read_pdb_with_secstruct(
+                            path, args.secstruct)
+                    else:
+                        from .pdbfile import read_pdb
+                        struct = read_pdb(path)
+                    sses = extract_sses(struct, args.incl_310,
+                                        args.incl_pi,
+                                        args.min_sse_len)
+                    if sse_id_list:
+                        sses = [sses[i - 1] for i in sse_id_list
+                                if 1 <= i <= len(sses)]
+                    if not sses:
+                        continue
+                    om = build_omega_matrix(sses)
+                    name = (args.name if len(files) == 1 and args.name
+                            else _default_name(path))
+                    out.write(f"{name} {len(sses)}\n")
+                    from .builder import format_numeric
+                    out.write(format_numeric(
+                        om, fortran=not args.degrees,
+                        degrees=args.degrees))
+                except Exception as exc:
+                    print(f"ERROR: {path}: {exc}", file=sys.stderr)
+            return 0
         if len(entries) == 1 and not args.sort_size:
             out.write(format_entry(entries[0]))
         else:

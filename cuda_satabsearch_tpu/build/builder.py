@@ -201,3 +201,47 @@ def build_from_file(path: str, name: str | None = None, **kw
         name = default_name(path)
     struct = read_pdb(path)
     return build_entry(struct, name=name, **kw)
+
+
+def build_omega_matrix(sses: list[SSE]) -> "np.ndarray":
+    """Numeric Omega (inter-axis angle, radians) matrix with the SSE
+    type code on the diagonal — the reference's compute_omega_matrix
+    (pttableau.py:523-568), the content behind pytableaucreate's -n/-e
+    numeric output modes and the mknumerictab.sh DB variant.
+    Unfittable axes / NaN angles emit 0.0 (convdb2.py NaN handling)."""
+    n = len(sses)
+    axes = [geom.fit_axis_helix(s.ca) if s.kind != "E"
+            else geom.fit_axis_strand(s.ca) for s in sses]
+    om = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        om[i, i] = sses[i].type_code
+        for j in range(i + 1, n):
+            w = geom.relative_angle(axes[i], axes[j])
+            v = 0.0 if w is None or np.isnan(w) else float(w)
+            om[i, j] = om[j, i] = v
+    return om
+
+
+def format_numeric(omega: "np.ndarray", fortran: bool = False,
+                   degrees: bool = False,
+                   permutation: list[int] | None = None) -> str:
+    """Numeric-matrix text in pytableaucreate's three layouts
+    (pytableaucreate.py:126-145): FORTRAN lower-triangle '%6.3f'
+    (tsrchn input), full-square '% 4.3f', or the original
+    TableauCreator .angles degrees format (-e; full square, degrees,
+    diagonal zeroed like the angles files)."""
+    n = omega.shape[0]
+    perm = permutation if permutation is not None else list(range(n))
+    m = omega[np.ix_(perm, perm)]
+    if degrees:
+        m = np.degrees(m)
+        np.fill_diagonal(m, 0.0)
+        return "\n".join(" ".join(f"{m[k, l]:.1f}" for l in range(n))
+                         for k in range(n)) + "\n"
+    if fortran:
+        return "\n".join(
+            " ".join(f"{0.0 if np.isnan(m[k, l]) else m[k, l]:6.3f}"
+                     for l in range(k + 1))
+            for k in range(n)) + "\n"
+    return "\n".join(" ".join(f"{m[k, l]: 4.3f}" for l in range(n))
+                     for k in range(n)) + "\n"

@@ -607,3 +607,41 @@ def test_select_chain_text(tmp_path):
     p = tmp_path / "a.pdb"
     p.write_text(only_a)
     assert build_entry(read_pdb(str(p)), name="a") is not None
+
+
+def test_build_cli_numeric_mode(tmp_path, capsys, monkeypatch):
+    """-n emits 'name order' + the FORTRAN lower-triangle Omega
+    matrix in radians (pytableaucreate -n / mknumerictab family);
+    --degrees switches to the full-square .angles layout."""
+    import sys as _sys
+
+    from cuda_satabsearch_tpu.build.__main__ import main as build_main
+
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    rc = build_main(["-n", str(pdb_path), "--name", "synth1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = out.splitlines()
+    name, order = lines[0].split()
+    n = int(order)
+    assert name == "synth1" and n >= 3
+    # lower-triangle: row k has k+1 values; diagonal = SSE type code
+    for k in range(n):
+        vals = [float(v) for v in lines[1 + k].split()]
+        assert len(vals) == k + 1
+    diag0 = float(lines[1].split()[0])
+    assert diag0 in (0.0, 1.0, 2.0, 3.0)
+    # off-diagonals are radians (|omega| <= pi)
+    offs = [float(v) for k in range(1, n)
+            for v in lines[1 + k].split()[:-1]]
+    assert all(abs(v) <= 3.1416 for v in offs)
+
+    rc = build_main(["-n", "--degrees", str(pdb_path)])
+    out2 = capsys.readouterr().out
+    lines2 = out2.splitlines()
+    n2 = int(lines2[0].split()[1])
+    assert n2 == n
+    # full square, diagonal zeroed, degrees scale
+    row0 = [float(v) for v in lines2[1].split()]
+    assert len(row0) == n and row0[0] == 0.0
