@@ -15,7 +15,6 @@ search engine consumes.
 from __future__ import annotations
 
 import os
-import sys
 from dataclasses import dataclass
 
 import numpy as np

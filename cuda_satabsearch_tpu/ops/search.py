@@ -11,7 +11,6 @@ and sharding).
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import sys
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-import numpy as np
 
 from .core.constants import DEFAULT_MAXSTART, SAParams, DEFAULTS, MAXDIM
 from .io.pack import (DEFAULT_BUCKETS, PackedDB, PackedQuery, pack_database,

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import sys
 
-from .ssemap import SSEMapHit, iter_ssemap_output, write_pml
+from .ssemap import iter_ssemap_output, write_pml
 from .superimpose import superimpose_ssemap, transform_pdb_text
 
 
