@@ -151,12 +151,18 @@ def pack_database_file(path: str, buckets: tuple = DEFAULT_BUCKETS,
                         [a, np.full(pad_shape, fill, a.dtype)])
 
                 from ..core.codes import TYPE_PAD
-                from .pack import DMAT_PAD
+                from .pack import DMAT_PAD, quantize_dmat
 
                 tabhi = padn(tabhi, 0)
                 tablo = padn(tablo, 0)
                 types = padn(types, TYPE_PAD)
-                dmat = padn(dmat, DMAT_PAD)
+                # pad with the QUANTIZED sentinel: the entry rows were
+                # bf16-quantized by the native packer already, and
+                # pack.pack_database quantizes the whole padded array —
+                # a raw 1e9 here would differ bitwise from the Python
+                # path (and violate the dgp pack_qc bf16-grid contract)
+                dmat = padn(dmat, quantize_dmat(
+                    np.float32(DMAT_PAD)).item())
                 orders = padn(orders, 1)
                 index = padn(index, -1)
                 names = names + ["<pad>"] * extra

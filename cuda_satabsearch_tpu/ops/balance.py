@@ -43,8 +43,8 @@ def _rate(dim: int) -> float:
 
 
 def balance_report(db, ndev: int, restarts: int = 128,
-                   maxiter: int = 100, chunk_entries: int | None = None,
-                   meshed: bool | None = None) -> dict:
+                   maxiter: int = 100, chunk_entries: int | None = None
+                   ) -> dict:
     """Per-shard work accounting for a PackedDB on an ndev-device mesh.
 
     Returns (all "work" in estimated device-milliseconds; iterations in
@@ -58,18 +58,15 @@ def balance_report(db, ndev: int, restarts: int = 128,
                           and chunk counts to MAX_GROUP*ndev quanta)
       iters_m_per_shard   [ndev] raw padded entry-iterations (M)
 
-    ``chunk_entries`` / ``meshed`` mirror the device preparation's
-    knobs (SessionConfig.chunk_entries; prepare_bucket_pallas2 pads
-    small tails to powers of two only WITHOUT a mesh): pass them when
-    modelling a non-default session so the accounting walks exactly
-    the chunks that will run.  ``meshed`` defaults to ndev > 1.
+    ``chunk_entries`` mirrors the device preparation's knob
+    (SessionConfig.chunk_entries): pass it when modelling a
+    non-default session so the accounting walks exactly the chunks
+    that will run.
     """
     from .pallas_search import CHUNK_ENTRIES, chunk_layout
 
     if chunk_entries is None:
         chunk_entries = CHUNK_ENTRIES
-    if meshed is None:
-        meshed = ndev > 1
 
     def ms(n_iters: float, dim: int) -> float:
         # rate is M it/s: time_ms = iters / (rate * 1e6) * 1e3
@@ -82,7 +79,7 @@ def balance_report(db, ndev: int, restarts: int = 128,
     real_ms = 0.0
     for b in db.buckets:
         for _s, _e, E in chunk_layout(b.size, ndev, chunk_entries,
-                                      pow2_tail=not meshed):
+                                      d2=b.dim):
             # every shard takes E/ndev rows of this chunk; padded rows
             # (chunk quanta + any pad_to entries) are genuine device
             # work — exactly why padding_overhead is worth reporting

@@ -17,6 +17,11 @@ from ..core.constants import DEFAULTS
 
 C_LANES = 128  # chains per pass: the VPU lane width
 
+# Entries per compiled kernel dispatch — shared by the Pallas chunk
+# plan (ops/pallas_search), the XLA engine chunking (ops/search), and
+# the load-balance accounting (ops/balance).
+CHUNK_ENTRIES = 128
+
 
 def round8(x: int) -> int:
     """Query-order padding quantum (TPU sublane width).  Also keys the
@@ -54,7 +59,7 @@ def prepare_query(query, n1r: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_uniforms_jit(r_seq: int, P: int, c_par: int):
+def _make_uniforms_jit(r_seq: int, P: int, c_par: int, n1r: int):
     from .engine import log_acc_slots
 
     def gen(keys):
@@ -62,7 +67,7 @@ def _make_uniforms_jit(r_seq: int, P: int, c_par: int):
             def per_restart(r):
                 u = jax.random.uniform(jax.random.fold_in(key, r),
                                        (P, c_par), dtype=jnp.float32)
-                u = log_acc_slots(u, P - 3 * DEFAULTS.maxiter)
+                u = log_acc_slots(u, n1r)
                 if c_par < C_LANES:
                     u = jnp.pad(u, ((0, 0), (0, C_LANES - c_par)))
                 return u
@@ -73,7 +78,8 @@ def _make_uniforms_jit(r_seq: int, P: int, c_par: int):
     return jax.jit(gen)
 
 
-def make_uniforms(keys, r_seq: int, P: int, c_par: int = C_LANES):
+def make_uniforms(keys, r_seq: int, P: int, c_par: int = C_LANES,
+                  n1r: int | None = None):
     """uniforms[e, r, :, :c_par] = uniform(fold_in(keys[e], r),
     (P, c_par)) — exactly the engine's per-restart stream
     (ops/engine.py restart_body), so kernel, engine, and golden model
@@ -84,5 +90,13 @@ def make_uniforms(keys, r_seq: int, P: int, c_par: int = C_LANES):
     carry ln(u), not u (see engine.log_acc_slots).
 
     jitted and cached per shape: an eager nested vmap would RETRACE on
-    every call (~100 ms of pure Python per search chunk)."""
-    return _make_uniforms_jit(r_seq, P, c_par)(keys)
+    every call (~100 ms of pure Python per search chunk).
+
+    ``n1r`` (the round8 query order — the slot-schedule base) defaults
+    to P - 3*DEFAULTS.maxiter, which is only correct for DEFAULT
+    params; pass it explicitly when P was built with a non-default
+    SAParams.maxiter, or the ln(u) acceptance slots land in the wrong
+    rows."""
+    if n1r is None:
+        n1r = P - 3 * DEFAULTS.maxiter
+    return _make_uniforms_jit(r_seq, P, c_par, n1r)(keys)

@@ -162,7 +162,8 @@ def sa_chain(query, db, lorder: bool, nrestarts: int,
 
     query/db: objects with .types, .tabhi, .tablo, .dmat, .order
     uniforms: flat float32 array of length
-              nrestarts * (n1 + 3*maxiter), slot schedule per module doc.
+              nrestarts * (round8(n1) + 3*maxiter) — the slot base is
+              the ROUNDED order (uniforms_per_restart), per module doc.
     """
     n1, n2 = query.order, db.order
     n1r = max(8, -(-n1 // 8) * 8)  # == ops.common.round8 (kept inline

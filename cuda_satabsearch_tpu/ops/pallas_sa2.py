@@ -123,6 +123,20 @@ def _dgp_table(npl: int) -> dict:
     return {1: TUNED_DGP, 2: TUNED_DGP16, 5: TUNED_DGP24}.get(npl, {})
 
 
+def max_reachable_group(d2: int) -> int:
+    """The largest entry-group size the AUTO fetch/group selection can
+    pick for a bucket width, over every query plane count: the tail-
+    padding quantum that makes the effective G — and therefore the
+    G-keyed pltpu RNG streams — identical across mesh layouts (see
+    pallas_search.chunk_layout).  Derived from the tuned tables so a
+    re-sweep can never silently desynchronize it."""
+    g = max(TUNED_DGP.get(d2, 1), TUNED_DGP16.get(d2, 1),
+            TUNED_DGP24.get(d2, 1), TUNED_CONFIG.get(d2, (1,))[0])
+    # choose_group's fallback formula also caps at 16 and only ever
+    # REDUCES the table preference, so the table max is the ceiling
+    return min(16, max(g, 1))
+
+
 def choose_group(d2: int, n1r: int, cap: int | None = None) -> int:
     """Entries per grid step (see TUNED_CONFIG; measured on real HW).
     Falls back to a row-budget formula for widths not in the table.
@@ -313,7 +327,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     sequential dispatch.
 
     With nq == 1, returns
-        fn(n2_i32[E], qtypes_i32[n1r] (SMEM), qtypesv_i32[NQ,1],
+        fn(n2_i32[E], qtypes_i32[n1r] (SMEM),
            qb2t_bf16[n1r*G, NQ], qb2d_bf16[n1r*G, NQ],
            types2_i32[E*d2, 1],
            tab2p_f32[E*d2, d2], dmat2_f32[E*d2, d2], rng_input,
@@ -327,9 +341,8 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     alloc, glue ops) is paid once per chunk instead of once per
     (chunk, query).  Query-side args then carry a leading nq axis and a
     ``tags_i32[nq]`` arg replaces the packed tag slot:
-        fn(n2, qtypes[nq,n1r], qtypesv[nq,NQ,1], qb2t[nq,...],
-           qb2d[nq,...], types2, tab2p, dmat2, rng_input, tags,
-           n1s_i32[nq])
+        fn(n2, qtypes[nq,n1r], qb2t[nq,...], qb2d[nq,...],
+           types2, tab2p, dmat2, rng_input, tags, n1s_i32[nq])
          -> (scores_i32[nq, E//G, G, C], bestmaps[nq, E//G, NQ, 1])
     RNG streams are keyed (seed, tag, entry, restart) exactly as in the
     nq == 1 path, so batched == sequential bitwise.
@@ -393,7 +406,6 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     NQ = G * n1r  # query-side flat rows
     NQH = n1r * G  # qb2 half offset (same value, named for clarity)
     PG = P * G  # uniforms rows per restart (slot-major)
-    PGpad = round8(PG)
     kloop_unroll = n1r <= 32
     # entries per fetch/cum MXU block: "bd" = all G in one block-
     # diagonal dot (quadratic in G), "gdot" = one entry per dot
@@ -521,7 +533,7 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         return jnp.where(he & le, 2.0, jnp.where(he | le, 1.0, -2.0))
 
     def kernel(*refs):
-        (n2_ref, qtypes_ref, qtypesv_ref, qb2t_ref, qb2d_ref, types2_ref,
+        (n2_ref, qtypes_ref, qb2t_ref, qb2d_ref, types2_ref,
          tab2p_ref, dmat2_ref, rng_ref, tags_ref, n1s_ref, outscore_ref,
          *rest) = refs
         rest = list(rest)
@@ -1097,8 +1109,6 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
                      memory_space=pltpu.SMEM),  # qtypes scalars
         # (whole-array SMEM block: Mosaic rejects squeezed SMEM blocks
         # whose trailing dim is neither 128-divisible nor full)
-        pl.BlockSpec((None, NQ, 1), lambda e, q, r: (q, 0, 0),
-                     memory_space=pltpu.VMEM),  # qtypes tiled vector
         # query matrices: scattered [NQH, NQ] bf16 for the MXU fetch
         # modes, lane-fused [8*planes, 128] f32 vectors for "dg"
         pl.BlockSpec((None, 8 * NPL, C) if dg else (None, NQH, NQ),
@@ -1160,11 +1170,11 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
         interpret=interpret,
     )
 
-    def batched(n2, qts, qtvs, qb2ts, qb2ds, t2, tp, dm, rng_in, tags,
+    def batched(n2, qts, qb2ts, qb2ds, t2, tp, dm, rng_in, tags,
                 n1s=None):
         if n1s is None:
             n1s = jnp.full((nq,), n1, I32)
-        out = call(n2, qts, qtvs, qb2ts, qb2ds, t2, tp, dm, rng_in,
+        out = call(n2, qts, qb2ts, qb2ds, t2, tp, dm, rng_in,
                    jnp.asarray(tags, I32), jnp.asarray(n1s, I32))
         if lsoln:
             return out
@@ -1176,14 +1186,14 @@ def make_pallas2_bucket_search(E: int, n1: int, d2: int, c_par: int,
     if nq > 1 or batched_api:
         return batched, G
 
-    def single(n2, qt, qtv, qb2t, qb2d, t2, tp, dm, rng_in, n1s=None):
+    def single(n2, qt, qb2t, qb2d, t2, tp, dm, rng_in, n1s=None):
         if rng_mode == "pltpu":
             tags = rng_in[1:2].astype(I32)
             rng = rng_in
         else:
             tags = jnp.zeros((1,), I32)
             rng = rng_in[None]
-        s, m = batched(n2, qt[None], qtv[None], qb2t[None], qb2d[None],
+        s, m = batched(n2, qt[None], qb2t[None], qb2d[None],
                        t2, tp, dm, rng, tags, n1s)
         return s[0], (None if m is None else m[0])
 

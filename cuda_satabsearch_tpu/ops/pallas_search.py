@@ -27,25 +27,35 @@ from .search import choose_chains
 
 # Entries per pallas_call: the kernel compiles per (E, n1r, d2) triple;
 # chunk-padding to a fixed E keeps that to one compile per bucket shape.
-CHUNK_ENTRIES = 128
+from .common import CHUNK_ENTRIES  # noqa: E402,F401 (shared quantum)
 
 
 def chunk_layout(n: int, ndev: int = 1,
                  chunk_entries: int = CHUNK_ENTRIES,
-                 pow2_tail: bool | None = None):
+                 d2: int | None = None):
     """[(start, end, padded_E)] — the exact chunk plan
     prepare_bucket_pallas2 builds for an n-entry bucket on an
     ndev-device mesh.  Exported so the load-balance harness
     (ops/balance.py) accounts for precisely the chunks that will run.
 
-    Every chunk is padded to a multiple of MAX_GROUP * ndev so each
-    device takes E/ndev rows of EVERY chunk and any tuned group size
-    divides the local slice.  ``pow2_tail`` (default: single-device
-    only) lets a small unsharded tail pad to the next power of two
-    instead of a full MAX_GROUP quantum."""
-    if pow2_tail is None:
-        pow2_tail = ndev == 1
+    With a mesh, every chunk pads to a multiple of MAX_GROUP * ndev so
+    each device takes E/ndev rows of EVERY chunk.  On a single device,
+    tails pad to the width's max_reachable_group (``d2``; MAX_GROUP
+    when unknown) — never to a smaller power of two — so the effective
+    group size, the group boundaries, and therefore the G-keyed pltpu
+    RNG streams are IDENTICAL across mesh layouts: a device's local
+    slice of a meshed chunk holds bitwise the same rows, groups, and
+    group-leader seeds as the corresponding slice of the unsharded
+    plan.  (A pow2 tail broke the sharded==unsharded guarantee in the
+    default pltpu mode for sub-group tails, found round 5; padding to
+    the full MAX_GROUP instead cost ~11%% on the 586-entry headline,
+    so the quantum is the per-width group ceiling.)"""
+    from .pallas_sa2 import max_reachable_group
+
     quantum = MAX_GROUP * ndev
+    tailq = (quantum if ndev > 1
+             else max_reachable_group(d2) if d2 is not None
+             else MAX_GROUP)
     cs = min(-(-chunk_entries // quantum) * quantum,
              -(-max(n, 1) // quantum) * quantum)
     out = []
@@ -53,8 +63,8 @@ def chunk_layout(n: int, ndev: int = 1,
         end = min(start + cs, n)
         k = end - start
         E = -(-k // quantum) * quantum
-        if pow2_tail and k < MAX_GROUP:
-            E = 1 << (k - 1).bit_length() if k > 1 else 1
+        if ndev == 1 and k < quantum:
+            E = -(-k // tailq) * tailq
         out.append((start, end, E))
     return out
 
@@ -143,8 +153,7 @@ def prepare_bucket_pallas2(bucket: PackedBucket, device=None,
     quantum = MAX_GROUP * ndev
     cs = min(-(-chunk_entries // quantum) * quantum,
              -(-max(n, 1) // quantum) * quantum)
-    layout = chunk_layout(n, ndev, chunk_entries,
-                          pow2_tail=mesh is None)
+    layout = chunk_layout(n, ndev, chunk_entries, d2=d2)
     tab2p_full = pack_tab(bucket.tabhi, bucket.tablo)
     types_full = bucket.types.astype(np.int32)
     dmat_full = bucket.dmat.astype(np.float32)
@@ -252,7 +261,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
                 .reshape(E // G, r_seq, P * G, C_LANES))
 
     def _sharded_call(kern, G, E, d2, indices, n2, types2, tab2p, dmat2,
-                      seed, tag, n1s, qt, qtv, qb2t, qb2d):
+                      seed, tag, n1s, qt, qb2t, qb2d):
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as SP
 
@@ -262,7 +271,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
         rep = SP()
 
         def body(idx_l, n2_l, t2_l, tp_l, dm_l, seed_a, tag_a, n1s_a,
-                 qt_a, qtv_a, qb2t_a, qb2d_a):
+                 qt_a, qb2t_a, qb2d_a):
             if rng_mode == "pltpu":
                 rng_in = jnp.concatenate([
                     seed_a.astype(jnp.int32)[None],
@@ -270,7 +279,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
                     idx_l.astype(jnp.int32)])
             else:
                 rng_in = _uniforms(idx_l, seed_a, tag_a, E // ndev, G)
-            res = kern(n2_l, qt_a, qtv_a, qb2t_a, qb2d_a, t2_l, tp_l,
+            res = kern(n2_l, qt_a, qb2t_a, qb2d_a, t2_l, tp_l,
                        dm_l, rng_in, n1s_a)
             return res if lsoln else res[0]
 
@@ -280,12 +289,12 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
         return shard_map(
             body, mesh=mesh,
             in_specs=(ent, ent, ent2, ent2, ent2, rep, rep, rep, rep,
-                      rep, rep, rep),
+                      rep, rep),
             out_specs=out_specs if lsoln else out_specs[0],
             check_rep=False,
         )(indices, n2, types2, tab2p, dmat2,
           jnp.asarray(seed, jnp.int32), jnp.asarray(tag, jnp.int32),
-          n1s, qt, qtv, qb2t, qb2d)
+          n1s, qt, qb2t, qb2d)
 
     def f(seed, tag, n1q, qt, qtabp, qdmat, chunk_args):
         n1s = jnp.asarray(n1q, jnp.int32).reshape(1)
@@ -298,14 +307,12 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
             if qkey not in qb2s:
                 qb2s[qkey] = (make_qflat(qtabp, qdmat)
                               if kern.qrep == "qflat"
-                              else make_qb2(qtabp, qdmat, G),
-                              jnp.tile(qt.astype(jnp.int32)[:, None],
-                                       (G, 1)))
-            (qb2t, qb2d), qtv = qb2s[qkey]
+                              else make_qb2(qtabp, qdmat, G))
+            qb2t, qb2d = qb2s[qkey]
             if mesh is not None:
                 out = _sharded_call(kern, G, E, d2, indices, n2, types2,
                                     tab2p, dmat2, seed, tag, n1s, qt,
-                                    qtv, qb2t, qb2d)
+                                    qb2t, qb2d)
                 outs.append((out if lsoln else (out, None), G))
                 continue
             if rng_mode == "pltpu":
@@ -315,7 +322,7 @@ def _make_db_fn2(chunk_shapes: tuple, n1r: int, c_par: int, r_seq: int,
                     indices.astype(jnp.int32)])
             else:
                 rng_in = _uniforms(indices, seed, tag, E, G)
-            outs.append((kern(n2, qt, qtv, qb2t, qb2d, types2, tab2p,
+            outs.append((kern(n2, qt, qb2t, qb2d, types2, tab2p,
                               dmat2, rng_in, n1s), G))
         # concatenate on device: the drain must be ONE transfer per
         # output, not one per chunk (each D2H costs a full round trip
@@ -412,7 +419,7 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
         return jax.vmap(per_tag)(tags)  # [K, EG, r, PG, C]
 
     def _callK(kern, G, E, indices, n2, types2, tab2p, dmat2, seed,
-               tags, n1s, qts, qtvs, qb2t, qb2d):
+               tags, n1s, qts, qb2t, qb2d):
         if rng_mode == "pltpu":
             rng_in = jnp.concatenate([
                 jnp.asarray(seed, jnp.int32)[None],
@@ -420,11 +427,11 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
                 indices.astype(jnp.int32)])
         else:
             rng_in = _uniformsK(indices, seed, tags, E, G)
-        return kern(n2, qts.astype(jnp.int32), qtvs, qb2t, qb2d,
+        return kern(n2, qts.astype(jnp.int32), qb2t, qb2d,
                     types2, tab2p, dmat2, rng_in, tags, n1s)
 
     def _shardedK(kern, G, E, indices, n2, types2, tab2p, dmat2, seed,
-                  tags, n1s, qts, qtvs, qb2t, qb2d):
+                  tags, n1s, qts, qb2t, qb2d):
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as SP
 
@@ -434,9 +441,9 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
         rep = SP()
 
         def body(idx_l, n2_l, t2_l, tp_l, dm_l, seed_a, tags_a, n1s_a,
-                 qts_a, qtvs_a, qb2t_a, qb2d_a):
+                 qts_a, qb2t_a, qb2d_a):
             out = _callK(kern, G, E // ndev, idx_l, n2_l, t2_l, tp_l,
-                         dm_l, seed_a, tags_a, n1s_a, qts_a, qtvs_a,
+                         dm_l, seed_a, tags_a, n1s_a, qts_a,
                          qb2t_a, qb2d_a)
             return out if lsoln else out[0]
 
@@ -446,11 +453,11 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
         out = shard_map(
             body, mesh=mesh,
             in_specs=(ent, ent, ent2, ent2, ent2, rep, rep, rep, rep,
-                      rep, rep, rep),
+                      rep, rep),
             out_specs=out_specs if lsoln else out_specs[0],
             check_rep=False,
         )(indices, n2, types2, tab2p, dmat2,
-          jnp.asarray(seed, jnp.int32), tags, n1s, qts, qtvs, qb2t,
+          jnp.asarray(seed, jnp.int32), tags, n1s, qts, qb2t,
           qb2d)
         return out if lsoln else (out, None)
 
@@ -465,13 +472,11 @@ def _make_db_fnK(chunk_shapes: tuple, n1r: int, K: int, c_par: int,
             if qkey not in qb2s:
                 qb2s[qkey] = (make_qflat_batched(qtabps, qdmats)
                               if kern.qrep == "qflat"
-                              else make_qb2_batched(qtabps, qdmats, G),
-                              jnp.tile(qts.astype(jnp.int32)[:, :, None],
-                                       (1, G, 1)))
-            (qb2t, qb2d), qtvs = qb2s[qkey]
+                              else make_qb2_batched(qtabps, qdmats, G))
+            qb2t, qb2d = qb2s[qkey]
             call = _callK if mesh is None else _shardedK
             S, M = call(kern, G, E, indices, n2, types2, tab2p, dmat2,
-                        seed, tags, n1s, qts, qtvs, qb2t, qb2d)
+                        seed, tags, n1s, qts, qb2t, qb2d)
             out_s.append(S[..., 0].reshape(K, -1))  # [K, E]
             if lsoln:
                 out_m.append(M[..., 0].reshape(K, -1, n1r))

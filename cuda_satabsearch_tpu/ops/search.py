@@ -23,11 +23,13 @@ from .engine import make_bucket_search
 
 DEFAULT_SEED = 1234  # the reference's fixed seed (cudaSaTabsearch.cu:263,:871)
 
-# Entries per compiled call.  Bounds XLA compile time (which grows
-# superlinearly with the vmapped batch on the TPU backend: ~4 s at 128
-# entries vs ~400 s at 417, measured on v5e) and temporary memory;
-# chunks are padded to a common size so each bucket shape compiles once.
-_CHUNK_ENTRIES = 128
+# Entries per compiled call — ONE shared quantum for both backends
+# (the Pallas path and the balance harness read the same constant from
+# pallas_search).  Bounds XLA compile time (which grows superlinearly
+# with the vmapped batch on the TPU backend: ~4 s at 128 entries vs
+# ~400 s at 417, measured on v5e) and temporary memory; chunks are
+# padded to a common size so each bucket shape compiles once.
+from .common import CHUNK_ENTRIES as _CHUNK_ENTRIES  # noqa: E402
 
 
 def resolve_gather_mode(gather_mode: str) -> str:
@@ -169,6 +171,17 @@ def search_bucket(query: PackedQuery, bucket: PackedBucket, *,
     return scores, maps
 
 
+def _sharding_mesh(sharding):
+    """Mesh behind a sharding spec: a fixed jax.sharding.Sharding or
+    the upload_db-documented callable ``bucket_size -> Sharding`` (its
+    mesh is size-independent, so probe with size 1)."""
+    if sharding is None:
+        return None
+    if callable(sharding):
+        return sharding(1).mesh
+    return sharding.mesh
+
+
 def resolve_backend(backend: str, sharding=None) -> str:
     """'auto' -> the Pallas kernel on TPU-like backends (hand-fused
     VMEM-resident hot loop; under a mesh it runs SPMD via shard_map),
@@ -196,7 +209,7 @@ def search_db(query: PackedQuery, db: PackedDB, *,
         from .pallas_search import (assemble_db_pallas2,
                                     dispatch_db_pallas2)
 
-        mesh = sharding.mesh if sharding is not None else None
+        mesh = _sharding_mesh(sharding)
         scores, maps = assemble_db_pallas2(dispatch_db_pallas2(
             query, db, maxstart=maxstart, lorder=lorder, seed=seed,
             query_tag=query_tag, c_max=c_max, params=params,
@@ -248,9 +261,7 @@ def upload_db(db: PackedDB, device=None, sharding=None,
         if use == "pallas":
             from .pallas_search import prepare_bucket_pallas2
 
-            mesh = None
-            if sharding is not None and not callable(sharding):
-                mesh = sharding.mesh
+            mesh = _sharding_mesh(sharding)
             kw = {}
             if chunk_entries:
                 kw["chunk_entries"] = chunk_entries

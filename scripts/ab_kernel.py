@@ -57,9 +57,8 @@ def build(d2, K, r_seq, E, n1, cfg):
         qa, qb = make_qflat_batched(qtabp, qdmat)
     else:
         qa, qb = make_qb2_batched(qtabp, qdmat, G)
-    qtv = jnp.tile(jnp.asarray(qtypes)[:, :, None], (1, G, 1))
     args = [jnp.asarray(x) for x in
-            (n2, qtypes, qtv, qa, qb, types2, tab2p, dmat2, rng_in,
+            (n2, qtypes, qa, qb, types2, tab2p, dmat2, rng_in,
              tags)]
     jfn = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))
     np.asarray(jfn(*args))

@@ -111,11 +111,14 @@ def run(seed: int = 99) -> None:
     # (pallas_sa2.py in-kernel note) — the CPU interpret test for this
     # skips, so pin the path here on real hardware: (a) run-to-run
     # determinism, (b) batched == sequential, (c) supplied-mode
-    # equality vs the XLA engine, on DBs whose tail chunks force
-    # G in {1, 2, 4}.
+    # equality vs the XLA engine.  With quantum tail padding (round 5,
+    # chunk_layout) every chunk E is a multiple of MAX_GROUP, so the
+    # reachable small-G configs are the tuned G=4 wide widths; a
+    # sub-quantum tail (E=16, G=16) rides the second config to pin the
+    # tail-padding path itself.
     for sizes2, buckets2, label in (
-            ([5, 6, 7, 8, 100, 101], (8, 112), "G=4/2"),
-            ([9], (16, 112), "G=1")):  # 112 bucket stays empty
+            ([5, 6, 7, 8, 100, 101, 60, 61], (8, 64, 112), "G=4 wide"),
+            ([9], (16, 112), "tail E=16")):  # 112 bucket stays empty
         ents2 = [entry(int(n), f"s{i}") for i, n in enumerate(sizes2)]
         db2 = pack_database(ents2, buckets=buckets2)
         qs2 = [pack_query(entry(7, f"sq{i}")) for i in range(3)]

@@ -68,9 +68,8 @@ def profile_shape(E, n1, d2, *, r_seq, reps, maxiter=None, lorder=True):
             qb2t, qb2d = make_qflat_batched(qtabp[None], qdmat[None])
         else:
             qb2t, qb2d = make_qb2_batched(qtabp[None], qdmat[None], G)
-        qtv = jnp.tile(jnp.asarray(qtypes)[:, :, None], (1, G, 1))
         args = [jnp.asarray(x) for x in
-                (n2, qtypes, qtv, qb2t, qb2d, types2, tab2p, dmat2,
+                (n2, qtypes, qb2t, qb2d, types2, tab2p, dmat2,
                  rng_in, tags)]
         # reduce on device so the drain transfer is tiny; drain with a
         # REAL D2H (np.asarray) — on the axon platform

@@ -55,13 +55,12 @@ def time_chunk(ch, d2, n1, qtypes, qtabp, qdmat, c_par, r_seq,
         E, n1, d2, c_par, r_seq, lorder, rng_mode="pltpu",
         lsoln=False, fetch=fetch, group=group, cum=cum)
     qb2t, qb2d = make_qb2(qtabp, qdmat, G)
-    qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
     idx = jnp.asarray(np.asarray(ch["indices"]), jnp.int32)
 
     def body(_, tag):
         rng_in = jnp.concatenate([
             jnp.full((1,), 1234, jnp.int32), tag[None], idx])
-        s, _m = kern(ch["n2"], jnp.asarray(qtypes), qtv, qb2t, qb2d,
+        s, _m = kern(ch["n2"], jnp.asarray(qtypes), qb2t, qb2d,
                      ch["types2"], ch["tab2p"], ch["dmat2"], rng_in)
         return None, jnp.sum(s)
 

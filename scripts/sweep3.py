@@ -57,7 +57,6 @@ def time_config(ch, d2, n1, qts, qtabps, qdmats, c_par, r_seq, floor,
         E, n1, d2, c_par, r_seq, True, rng_mode="pltpu", lsoln=False,
         fetch=fetch, group=group, cum=cum, nq=K, batched_api=True)
     qb2t, qb2d = make_qb2_batched(np.asarray(qtabps), np.asarray(qdmats), G)
-    qtvs = jnp.tile(jnp.asarray(qts, jnp.int32)[:, :, None], (1, G, 1))
     tags = jnp.arange(K, dtype=jnp.int32)
     rng_in = jnp.concatenate([
         jnp.full((1,), 1234, jnp.int32), jnp.zeros((1,), jnp.int32),
@@ -65,7 +64,7 @@ def time_config(ch, d2, n1, qts, qtabps, qdmats, c_par, r_seq, floor,
 
     @jax.jit
     def run():
-        s, _m = kern(ch["n2"], jnp.asarray(qts, jnp.int32), qtvs, qb2t,
+        s, _m = kern(ch["n2"], jnp.asarray(qts, jnp.int32), qb2t,
                      qb2d, ch["types2"], ch["tab2p"], ch["dmat2"],
                      rng_in, tags)
         return jnp.sum(s)

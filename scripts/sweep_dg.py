@@ -50,9 +50,8 @@ def bench_config(E, n1, d2, *, fetch, group, cum, r_seq, reps, cumb=None):
         qa, qb = make_qflat(qtabp, qdmat)
     else:
         qa, qb = make_qb2(qtabp, qdmat, G)
-    qtv = jnp.tile(jnp.asarray(qtypes)[:, None], (G, 1))
     args = [jnp.asarray(x) for x in
-            (n2, qtypes, qtv, qa, qb, types2, tab2p, dmat2, rng_in)]
+            (n2, qtypes, qa, qb, types2, tab2p, dmat2, rng_in)]
     jfn = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))
     np.asarray(jfn(*args))
     best = float("inf")

@@ -81,14 +81,13 @@ def sweep_n1(entries, db, n1, floor, maxstart=128):
                         if G != group:
                             continue
                         qb2t, qb2d = make_qb2(qtabp, qdmat, G)
-                        qtv = jnp.tile(
                             jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
                         rng_in = jnp.concatenate([
                             jnp.asarray(1234, jnp.int32)[None],
                             jnp.asarray(0, jnp.int32)[None],
                             jnp.asarray(np.asarray(ch["indices"]),
                                         jnp.int32)])
-                        args = (ch["n2"], jnp.asarray(qtypes), qtv, qb2t,
+                        args = (ch["n2"], jnp.asarray(qtypes), qb2t,
                                 qb2d, ch["types2"], ch["tab2p"],
                                 ch["dmat2"], rng_in)
                         fn = jax.jit(kern)

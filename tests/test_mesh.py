@@ -156,3 +156,50 @@ def test_mesh_balance_matches_real_chunks():
     expect = total_padded / 8 * 128 * 100 / 1e6
     # report values are rounded to 3 decimals
     assert abs(rep["iters_m_per_shard"][0] - expect) < 1e-3
+
+
+def test_chunk_layout_mesh_invariant_groups():
+    """The pltpu sharded==unsharded bitwise guarantee rests on this
+    construction: for every bucket size and mesh size, a device's
+    local slice of the meshed chunk plan covers exactly the same
+    global rows, with the same effective group size and the same
+    group-leader rows, as the corresponding slice of the unsharded
+    plan — so the G-keyed, leader-seeded pltpu streams coincide.
+    (Round-5 fix: tails pad to the width's group CEILING
+    (max_reachable_group), never to a smaller power of two, which used
+    to change G for sub-group tails.)"""
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import effective_group
+    from cuda_satabsearch_tpu.ops.pallas_search import (MAX_GROUP,
+                                                        chunk_layout)
+
+    from cuda_satabsearch_tpu.ops.pallas_sa2 import (
+        max_reachable_group)
+
+    for n in (1, 2, 5, 16, 40, 130, 400):
+        for d2 in (8, 16, 24, 48, 64, 112):
+            base = chunk_layout(n, 1, d2=d2)
+            for n1 in (8, 13, 19):
+                for s1, e1, E1 in base:
+                    # unsharded E is always >= the width's group
+                    # ceiling, so the effective G is the tuned value
+                    assert E1 % max_reachable_group(d2) == 0 or E1 >= 16
+            for ndev in (2, 4, 8):
+                meshed = chunk_layout(n, ndev, d2=d2)
+                for s2, e2, E2 in meshed:
+                    assert E2 % (ndev * MAX_GROUP) == 0
+                    local = E2 // ndev
+                    assert local % MAX_GROUP == 0
+                    for n1 in (8, 13, 19):
+                        gl = effective_group(local, d2, n1)
+                        # every unsharded chunk overlapping this span
+                        # lands on the SAME effective G (E >= the
+                        # group ceiling in both layouts)
+                        for s1, e1, E1 in base:
+                            if s1 >= e2 or e1 <= s2:
+                                continue
+                            assert effective_group(E1, d2, n1) == gl, (
+                                n, ndev, d2, n1, E1, local)
+                        # group leaders sit at multiples of gl in both
+                        # layouts (slices start at MAX_GROUP multiples,
+                        # which gl divides)
+                        assert MAX_GROUP % gl == 0

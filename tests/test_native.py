@@ -46,6 +46,14 @@ def test_native_pack_mesh_padding():
         assert nb.size == pb.size
         np.testing.assert_array_equal(nb.index, pb.index)
         np.testing.assert_array_equal(nb.orders, pb.orders)
+        # pad rows included — the appended DMAT_PAD sentinel must be
+        # the bf16-QUANTIZED value (raw 1e9 is off the bf16 grid and
+        # would break the Python-path bitwise equality and the dgp
+        # pack_qc contract)
+        np.testing.assert_array_equal(nb.dmat, pb.dmat)
+        np.testing.assert_array_equal(nb.types, pb.types)
+        np.testing.assert_array_equal(nb.tabhi, pb.tabhi)
+        np.testing.assert_array_equal(nb.tablo, pb.tablo)
 
 
 def test_native_missing_file():

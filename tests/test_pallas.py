@@ -116,9 +116,8 @@ def test_kernel_pltpu_rng_mode():
                                        interpret=False, rng_mode="pltpu",
                                        lsoln=True)
     qb2t, qb2d = make_qb2(qtabp, qdmat, G)
-    qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
     packed = np.concatenate([[1234, 0], np.arange(E)]).astype(np.int32)
-    args = (jnp.asarray(orders), jnp.asarray(qtypes), qtv, qb2t, qb2d,
+    args = (jnp.asarray(orders), jnp.asarray(qtypes), qb2t, qb2d,
             jnp.asarray(types.astype(np.int32).reshape(E * d2, 1)),
             jnp.asarray(tab2p.reshape(E * d2, d2)),
             jnp.asarray(dmat.reshape(E * d2, d2)), jnp.asarray(packed))
@@ -234,20 +233,18 @@ def test_kernel_v2_query_batched():
             qb2t, qb2d = make_qflat(qtabp, qdmat)
         else:
             qb2t, qb2d = make_qb2(qtabp, qdmat, G)
-        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         uni = jnp.asarray(
             urng.random((EG, r_seq, PG, 128)).astype(np.float32))
-        s, m = single(jnp.asarray(orders), jnp.asarray(qtypes), qtv,
+        s, m = single(jnp.asarray(orders), jnp.asarray(qtypes),
                       qb2t, qb2d, t2flat, tpflat, dmflat, uni)
-        qargs.append((jnp.asarray(qtypes), qtv, qb2t, qb2d))
+        qargs.append((jnp.asarray(qtypes), qb2t, qb2d))
         unis.append(uni)
         singles.append((np.asarray(s), np.asarray(m)))
 
     qts = jnp.stack([a[0] for a in qargs])
-    qtvs = jnp.stack([a[1] for a in qargs])
-    qb2ts = jnp.stack([a[2] for a in qargs])
-    qb2ds = jnp.stack([a[3] for a in qargs])
-    sb, mb = batched(jnp.asarray(orders), qts, qtvs, qb2ts, qb2ds,
+    qb2ts = jnp.stack([a[1] for a in qargs])
+    qb2ds = jnp.stack([a[2] for a in qargs])
+    sb, mb = batched(jnp.asarray(orders), qts, qb2ts, qb2ds,
                      t2flat, tpflat, dmflat, jnp.stack(unis),
                      jnp.zeros((3,), jnp.int32))
     sb, mb = np.asarray(sb), np.asarray(mb)
@@ -338,10 +335,9 @@ def test_kernel_blocked_fetch_bitwise():
             E, n1, d2, c_par, r_seq, True, interpret=True,
             rng_mode="supplied", lsoln=True, fetch=fetch, group=8)
         qb2t, qb2d = make_qb2(qtabp, qdmat, G)
-        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         u = (uni.reshape(E // G, G, r_seq, P, 128)
              .transpose(0, 2, 3, 1, 4).reshape(E // G, r_seq, P * G, 128))
-        s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv, qb2t,
+        s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qb2t,
                   qb2d,
                   jnp.asarray(types.astype(np.int32).reshape(E * d2, 1)),
                   jnp.asarray(tab2p.reshape(E * d2, d2)),
@@ -401,7 +397,6 @@ def test_kernel_dg_fetch_bitwise():
         t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
         tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
         dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
-        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         outs = {}
         for lorder in (True, False):
             for fetch in ("gdot", "dg", "dgs", "dgp"):
@@ -416,7 +411,7 @@ def test_kernel_dg_fetch_bitwise():
                 else:
                     qa, qb = make_qb2(qtabp, qdmat, G)
                 s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes),
-                          qtv, qa, qb, t2flat, tpflat, dmflat, uni)
+                          qa, qb, t2flat, tpflat, dmflat, uni)
                 outs[(lorder, fetch)] = (np.asarray(s), np.asarray(m))
             s_ref, m_ref = outs[(lorder, "gdot")]
             for v in ("dg", "dgs", "dgp"):
@@ -457,7 +452,6 @@ def test_kernel_dg_fetch_bitwise_two_planes():
         t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
         tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
         dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
-        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         outs = {}
         for fetch in ("gdot", "dg", "dgp"):
             fn, Gk = make_pallas2_bucket_search(
@@ -465,7 +459,7 @@ def test_kernel_dg_fetch_bitwise_two_planes():
                 rng_mode="supplied", lsoln=True, fetch=fetch, group=G)
             qa, qb = (make_qflat(qtabp, qdmat) if fn.qrep == "qflat"
                       else make_qb2(qtabp, qdmat, G))
-            s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv,
+            s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes),
                       qa, qb, t2flat, tpflat, dmflat, uni)
             outs[fetch] = (np.asarray(s), np.asarray(m))
         for v in ("dg", "dgp"):
@@ -505,7 +499,6 @@ def test_kernel_dgp_fetch_bitwise_five_planes():
         t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
         tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
         dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
-        qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
         outs = {}
         for fetch in ("gdot", "dgp"):
             fn, Gk = make_pallas2_bucket_search(
@@ -513,7 +506,7 @@ def test_kernel_dgp_fetch_bitwise_five_planes():
                 rng_mode="supplied", lsoln=True, fetch=fetch, group=G)
             qa, qb = (make_qflat(qtabp, qdmat) if fn.qrep == "qflat"
                       else make_qb2(qtabp, qdmat, G))
-            s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv,
+            s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes),
                       qa, qb, t2flat, tpflat, dmflat, uni)
             outs[fetch] = (np.asarray(s), np.asarray(m))
         np.testing.assert_array_equal(outs["dgp"][0], outs["gdot"][0],
@@ -654,7 +647,6 @@ def test_kernel_unroll_bitwise():
     t2flat = jnp.asarray(types.astype(np.int32).reshape(E * d2, 1))
     tpflat = jnp.asarray(tab2p.reshape(E * d2, d2))
     dmflat = jnp.asarray(dmat.reshape(E * d2, d2))
-    qtv = jnp.tile(jnp.asarray(qtypes, jnp.int32)[:, None], (G, 1))
     outs = {}
     for unroll in (1, 2):
         fn, _G = make_pallas2_bucket_search(
@@ -662,7 +654,7 @@ def test_kernel_unroll_bitwise():
             rng_mode="supplied", lsoln=True, fetch="dgp", group=G,
             unroll=unroll)
         qa, qb = make_qflat(qtabp, qdmat)
-        s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qtv, qa,
+        s, m = fn(jnp.asarray(orders), jnp.asarray(qtypes), qa,
                   qb, t2flat, tpflat, dmflat, uni)
         outs[unroll] = (np.asarray(s), np.asarray(m))
     np.testing.assert_array_equal(outs[2][0], outs[1][0])
