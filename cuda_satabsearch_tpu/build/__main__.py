@@ -98,23 +98,9 @@ def main(argv=None) -> int:
             files.append(p)
 
     entries = []
+    numeric_chunks = []  # (name, omega, perm) per file in -n mode
     for path in files:
         try:
-            perm = None
-            if args.permute:
-                import numpy as _np
-
-                probe = build_from_file(
-                    path, include_310=args.incl_310,
-                    include_pi=args.incl_pi,
-                    min_sse_len=args.min_sse_len)
-                if probe is not None:
-                    n = (len(sse_id_list) if sse_id_list else probe.order)
-                    rng = _np.random.default_rng(args.permute_seed)
-                    perm = list(rng.permutation(n))
-                    print(f"permutation {path}: "
-                          + ",".join(str(p + 1) for p in perm),
-                          file=sys.stderr)
             name1 = args.name if len(files) == 1 else None
             if args.secstruct != "pdb":
                 from .secstruct import read_pdb_with_secstruct
@@ -144,13 +130,48 @@ def main(argv=None) -> int:
                           file=sys.stderr)
                 entries.extend(new)
                 continue
-            from .builder import build_entry
+            from .builder import build_entry, extract_sses
 
+            # the -u permutation probe counts SSEs from the SAME
+            # secstruct source and subset the real build uses (a PDB-
+            # record probe against -t dssp/stride produced wrong-length
+            # permutations); out-of-range --sse-ids are dropped BEFORE
+            # sizing the permutation for the same reason
+            perm = None
+            sses_all = extract_sses(struct, args.incl_310,
+                                    args.incl_pi, args.min_sse_len)
+            eff_ids = ([i for i in sse_id_list
+                        if 1 <= i <= len(sses_all)]
+                       if sse_id_list else None)
+            if args.permute:
+                import numpy as _np
+
+                n = len(eff_ids) if eff_ids is not None else len(
+                    sses_all)
+                if n:
+                    rng = _np.random.default_rng(args.permute_seed)
+                    perm = list(rng.permutation(n))
+                    print(f"permutation {path}: "
+                          + ",".join(str(p + 1) for p in perm),
+                          file=sys.stderr)
+            if args.numeric:
+                from .builder import build_omega_matrix
+
+                sses = ([sses_all[i - 1] for i in eff_ids]
+                        if eff_ids is not None else sses_all)
+                if not sses:
+                    print(f"WARNING: no SSEs found in {path}",
+                          file=sys.stderr)
+                    continue
+                numeric_chunks.append(
+                    (name1 or _default_name(path),
+                     build_omega_matrix(sses), perm))
+                continue
             e = build_entry(
                 struct, name=name1 or _default_name(path),
                 include_310=args.incl_310, include_pi=args.incl_pi,
                 min_sse_len=args.min_sse_len, use_hk=args.use_hk,
-                sse_id_list=sse_id_list, permutation=perm)
+                sse_id_list=eff_ids, permutation=perm)
         except Exception as exc:  # keep walking the tree
             print(f"ERROR: {path}: {exc}", file=sys.stderr)
             continue
@@ -162,37 +183,17 @@ def main(argv=None) -> int:
     out = open(args.output, "w") if args.output else sys.stdout
     try:
         if args.numeric:
-            # numeric mode re-walks the same structures: emit
             # 'name order' headers + omega matrices (mknumerictab.sh
-            # family; entry assembly above validated the inputs)
-            from .builder import build_omega_matrix, extract_sses
-            for path in files:
-                try:
-                    if args.secstruct != "pdb":
-                        from .secstruct import read_pdb_with_secstruct
-                        struct = read_pdb_with_secstruct(
-                            path, args.secstruct)
-                    else:
-                        from .pdbfile import read_pdb
-                        struct = read_pdb(path)
-                    sses = extract_sses(struct, args.incl_310,
-                                        args.incl_pi,
-                                        args.min_sse_len)
-                    if sse_id_list:
-                        sses = [sses[i - 1] for i in sse_id_list
-                                if 1 <= i <= len(sses)]
-                    if not sses:
-                        continue
-                    om = build_omega_matrix(sses)
-                    name = (args.name if len(files) == 1 and args.name
-                            else _default_name(path))
-                    out.write(f"{name} {len(sses)}\n")
-                    from .builder import format_numeric
-                    out.write(format_numeric(
-                        om, fortran=not args.degrees,
-                        degrees=args.degrees))
-                except Exception as exc:
-                    print(f"ERROR: {path}: {exc}", file=sys.stderr)
+            # family), honoring -t/-u/--sse-ids exactly like the
+            # discrete path (ONE structure pass, shared above)
+            from .builder import format_numeric
+            for name, om, perm in numeric_chunks:
+                out.write(f"{name} {om.shape[0]}\n")
+                out.write(format_numeric(
+                    om, fortran=not args.degrees,
+                    degrees=args.degrees, permutation=perm))
+            print(f"built {len(numeric_chunks)} numeric matrices from "
+                  f"{len(files)} files", file=sys.stderr)
             return 0
         if len(entries) == 1 and not args.sort_size:
             out.write(format_entry(entries[0]))

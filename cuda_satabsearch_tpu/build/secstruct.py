@@ -69,7 +69,10 @@ def parse_dssp_output(text: str) -> tuple[list, list]:
             continue
         ss = line[16]
         assign.append((chain, resseq, ss))
-    assign = [a for a in assign if a[0] is not None]
+    # keep the '!' break sentinels: a (None, None, None) row splits
+    # the run grouping, so two same-letter SSEs separated by an
+    # intra-chain break (missing residues) stay TWO SSEs — filtering
+    # the sentinel out first would merge them across the gap
     return _runs_to_sses(assign)
 
 

@@ -225,17 +225,38 @@ def split_multiquery(fh: TextIO, outdir: str) -> list[str]:
     lines) into one '<qid>.out' per query in ``outdir``; queries are
     merged across repeated headers (the small-db/large-db two-pass
     output, multi2colout2single.py:84-99).  Returns paths written."""
-    from .results import iter_multiquery
+    from .results import _PAIR_LINE, _QUERY_RE
 
+    # line-level split (NOT iter_multiquery): scores must stay the
+    # source tool's own STRINGS, byte-for-byte — a float round trip
+    # would rewrite '25.10' as '25.1' (module contract above)
     merged: dict[str, list] = {}
-    for qid, results in iter_multiquery(fh, skip_self=False):
-        merged.setdefault(qid.lower(), []).extend(results)
+    qid = None
+    for line in fh:
+        m = _QUERY_RE.match(line)
+        if m:
+            qid = m.group(1).lower()
+            merged.setdefault(qid, [])
+            continue
+        if (qid is None or line.startswith("#") or not line.strip()
+                or _PAIR_LINE.match(line)):
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        try:
+            float(parts[1])
+        except ValueError:
+            continue
+        merged[qid].append((parts[0], parts[1]))
     paths = []
     for qid, results in sorted(merged.items()):
+        if not results:
+            continue
         path = os.path.join(outdir, qid + ".out")
         with open(path, "w") as out:
-            for score, dbid in results:
-                out.write(f"{dbid}    {score:g}\n")
+            for dbid, score_str in results:
+                out.write(f"{dbid}    {score_str}\n")
         paths.append(path)
     return paths
 

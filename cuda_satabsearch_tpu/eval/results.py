@@ -50,6 +50,12 @@ def parse_searchresult(fh: TextIO, negate: bool = False, log10: bool = False,
     return reslist, comments
 
 
+# the CLI/reference LSOLN pair line format "%3d %3d"
+# (cudaSaTabsearch.cu:1110-1113): two right-aligned width-3 ints
+_PAIR_LINE = re.compile(
+    r"^(?: {2}\d| \d\d|\d{3}) (?: {2}\d| \d\d|\d{3})\s*$")
+
+
 def iter_multiquery(fh: TextIO, skip_self: bool = False
                     ) -> Iterator[tuple[str, list[tuple[float, str]]]]:
     """Yield (queryid, [(score, domainid)]) per query from a multiquery
@@ -66,6 +72,13 @@ def iter_multiquery(fh: TextIO, skip_self: bool = False
             results = []
             continue
         if line.startswith("#") or not line.strip():
+            continue
+        if _PAIR_LINE.match(line):
+            # an LSOLN '%3d %3d' SSE-pair line, NOT a result row —
+            # without this skip a pair would parse as (score=j, id=i)
+            # and silently pollute AUC inputs.  The exact fixed-width
+            # form disambiguates from all-digit result ids (e.g. Nh3D
+            # 7-digit compressed CATH ids never fit %3d %3d).
             continue
         parts = line.split()
         if len(parts) < 2:

@@ -53,25 +53,40 @@ def auc(scores, labels) -> float:
 
 def roc_n(scores, labels, n: int = 50) -> float:
     """ROC-N score: area up to the N-th false positive, normalized by
-    n*npos (the CASP/BLAST 'ROC50' metric used by mkroc50tab.py)."""
+    n*npos (the CASP/BLAST 'ROC50' metric used by mkroc50tab.py).
+
+    TIE-FAIR: raw SA scores are small integers, so tied blocks are the
+    norm; within a block of p positives and q negatives the TP count
+    credited to each negative is interpolated linearly across the
+    block (the same convention roc_curve's tie collapse embodies).  A
+    per-row sweep instead inherits the arbitrary input (DB file) order
+    of tied entries and is irreproducible across orderings."""
     scores = np.asarray(scores, dtype=np.float64)
     labels = np.asarray(labels).astype(bool)
-    order = np.argsort(-scores, kind="stable")
+    order = np.argsort(-scores)
+    s = scores[order]
     l = labels[order]
     npos = int(l.sum())
     if npos == 0:
         raise ValueError("need at least one positive")
     tp = 0
     fp = 0
-    area = 0  # sum over first n false positives of TP count at each
-    for li in l:
-        if li:
-            tp += 1
-        else:
-            fp += 1
-            area += tp
-            if fp >= n:
-                break
+    area = 0.0
+    i = 0
+    while i < len(s) and fp < n:
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        p = int(l[i:j].sum())
+        q = (j - i) - p
+        if q:
+            k = min(q, n - fp)
+            # TP while crossing the block rises linearly tp -> tp + p;
+            # negative m of q sits at fraction (m - 0.5) / q
+            area += k * tp + p * (k * k) / (2.0 * q)
+            fp += k
+        tp += p
+        i = j
     if fp < n:  # fewer than n negatives: count remaining at full tp
         area += (n - fp) * tp
     return area / float(n * npos)

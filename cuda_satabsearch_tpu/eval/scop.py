@@ -180,38 +180,45 @@ def sample_query_list(domains, n: int, seed: int = 1,
     return picks
 
 
-def _db_names(dbfile: str) -> list[str]:
-    """Entry names of an ASCII DB (header lines are 'name order')."""
-    import sys
-    names = []
+def db_headers(dbfile: str) -> tuple[list[tuple[str, str]], int]:
+    """([(name, order_str)], dotted_skips) — the ASCII DB header scan
+    shared by _db_names and eval.tables.timer_table.
+
+    A header is "name order": second token an int.  Distance rows can
+    never collide (they are %6.3f pairs — the second token always
+    carries a decimal point, so int() rejects it); the only guard
+    needed on the NAME is excluding a literal float (a '.'), NOT
+    float()-parseability — names like '1e50' or '2e28' are real PDB
+    ids that float() would wrongly swallow."""
+    headers = []
     dotted = 0
     with open(dbfile) as fh:
         for line in fh:
             parts = line.split()
             if len(parts) != 2:
                 continue
-            # a header is "name order": second token an int.  Distance
-            # rows can never collide (they are %6.3f pairs — the second
-            # token always carries a decimal point, so int() rejects
-            # it); the only guard needed on the NAME is excluding a
-            # literal float (a '.'), NOT float()-parseability — names
-            # like '1e50' or '2e28' are real PDB ids that float() would
-            # wrongly swallow
             try:
                 int(parts[1])
             except ValueError:
                 continue
             if "." not in parts[0]:
-                names.append(parts[0])
+                headers.append((parts[0], parts[1]))
             else:
                 dotted += 1
+    return headers, dotted
+
+
+def _db_names(dbfile: str) -> list[str]:
+    """Entry names of an ASCII DB (header lines are 'name order')."""
+    import sys
+    headers, dotted = db_headers(dbfile)
     if dotted:
         # SCOP sids never contain dots, but an unexpected id scheme
         # should be visible, not silently excluded from sampling
         print(f"# _db_names: skipped {dotted} dotted candidate header "
               f"name(s) in {dbfile} (names containing '.' are treated "
               f"as distance rows)", file=sys.stderr)
-    return names
+    return [n for n, _o in headers]
 
 
 def main(argv=None) -> int:

@@ -184,12 +184,9 @@ def timer_table(fh: TextIO, input_dir: str, out: TextIO,
                 wrote_header = True
                 dbsses = {}
                 if db_named and os.path.isfile(db_named):
-                    with open(db_named) as dfh:
-                        for dl in dfh:
-                            parts = dl.split()
-                            if len(parts) == 2 and not any(
-                                    "." in p for p in parts):
-                                dbsses[parts[0]] = parts[1]
+                    from .scop import db_headers
+
+                    dbsses = dict(db_headers(db_named)[0])
             parts = line.split()
             dbid, score, cputime = parts[0], parts[1], parts[2]
             out.write(f"{queryid} {dbid} {querysses} "

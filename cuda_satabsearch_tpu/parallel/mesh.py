@@ -47,14 +47,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def gather_scores(x) -> np.ndarray:
-    """Assemble a (possibly sharded) device array on the host.
+    """Assemble a (possibly sharded) device array on the host — the
+    single multi-host gather implementation lives in
+    parallel.distributed.to_host; this name is kept for the public
+    parallel API."""
+    from .distributed import to_host
 
-    Single-process: ``np.asarray`` pulls all shards (they are all
-    addressable).  Multi-process: use
-    ``jax.experimental.multihost_utils.process_allgather`` instead.
-    """
-    if jax.process_count() > 1:  # pragma: no cover - needs multi-host
-        from jax.experimental import multihost_utils
-
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-    return np.asarray(x)
+    return to_host(x)

@@ -16,7 +16,12 @@ from dataclasses import dataclass, field
 from typing import Iterator, TextIO
 
 _QUERY_RE = re.compile(r"^#\s*QUERY\s?ID\s*=\s*(\S+)", re.IGNORECASE)
-_PAIR_RE = re.compile(r"^\s*(\d+)\s+(\d+)\s*$")
+# strict "%3d %3d" (cudaSaTabsearch.cu:1110-1113): two right-aligned
+# width-3 ints.  The exact fixed-width form keeps all-digit RESULT
+# rows (e.g. Nh3D 7-digit compressed CATH ids, or wide scores) from
+# being swallowed as SSE pairs.
+_PAIR_RE = re.compile(
+    r"^(?: {2}(\d)| (\d\d)|(\d{3})) (?: {2}(\d)| (\d\d)|(\d{3}))\s*$")
 
 
 @dataclass
@@ -44,7 +49,8 @@ def iter_ssemap_output(fh: TextIO) -> Iterator[SSEMapHit]:
             continue
         pm = _PAIR_RE.match(line)
         if pm and cur is not None:
-            cur.ssemap.append((int(pm.group(1)), int(pm.group(2))))
+            qi, dj = (int(t) for t in line.split())
+            cur.ssemap.append((qi, dj))
             continue
         parts = line.split()
         if len(parts) >= 2:

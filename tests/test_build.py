@@ -645,3 +645,55 @@ def test_build_cli_numeric_mode(tmp_path, capsys, monkeypatch):
     # full square, diagonal zeroed, degrees scale
     row0 = [float(v) for v in lines2[1].split()]
     assert len(row0) == n and row0[0] == 0.0
+
+
+def test_build_cli_numeric_respects_permutation(tmp_path, capsys):
+    """-n -u: the emitted numeric matrix IS permuted by the printed
+    permutation (the two used to disagree)."""
+    import numpy as np
+
+    from cuda_satabsearch_tpu.build.__main__ import main as build_main
+
+    pdb_path = tmp_path / "synth.pdb"
+    pdb_path.write_text(make_synthetic_pdb())
+    rc = build_main(["-n", "--degrees", str(pdb_path)])
+    plain = capsys.readouterr()
+    rc2 = build_main(["-n", "--degrees", "-u", "--permute-seed", "3",
+                      str(pdb_path)])
+    permed = capsys.readouterr()
+    assert rc == 0 and rc2 == 0
+    perm_line = [ln for ln in permed.err.splitlines()
+                 if ln.startswith("permutation")][0]
+    perm = [int(x) - 1 for x in perm_line.split(": ")[1].split(",")]
+
+    def mat(out):
+        lines = out.splitlines()
+        n = int(lines[0].split()[1])
+        return np.array([[float(v) for v in lines[1 + k].split()]
+                         for k in range(n)])
+
+    m0 = mat(plain.out)
+    m1 = mat(permed.out)
+    np.testing.assert_allclose(m1, m0[np.ix_(perm, perm)] *
+                               (1 - np.eye(len(perm))), atol=1e-9)
+
+
+def test_dssp_chain_break_splits_sses():
+    """A '!' chain-break row between two same-letter runs must yield
+    TWO SSEs, not one merged across the gap (the break sentinel is a
+    run separator, ptsecstruct semantics)."""
+    from cuda_satabsearch_tpu.build.secstruct import parse_dssp_output
+
+    dssp = """\
+==== Secondary Structure Definition by the program DSSP ====
+  #  RESIDUE AA STRUCTURE BP1 BP2  ACC
+    1    1 A M  H  > S+     0   0  96
+    2    2 A Q  H  > S+     0   0  65
+    3        !              0   0   0
+    4   10 A I  H  > S+     0   0  96
+    5   11 A F  H  > S+     0   0  13
+"""
+    helices, _strands = parse_dssp_output(dssp)
+    assert len(helices) == 2
+    assert (helices[0].start, helices[0].end) == ("1", "2")
+    assert (helices[1].start, helices[1].end) == ("10", "11")

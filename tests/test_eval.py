@@ -622,3 +622,43 @@ def test_star_auc_latex_and_merge_and_rank(tmp_path):
 
     res = _io.StringIO("# c\nd1a__ 5 x\nd1b__ 9 x\nd1c__ 1 x\n")
     assert result_rank(res, "d1b__") == (3, 3)  # ascending: best=last
+
+
+def test_iter_multiquery_skips_lsoln_pair_lines():
+    """LSOLN '%3d %3d' pair lines must NOT parse as result rows, while
+    all-digit result ids (Nh3D 7-digit CATH ids) must survive."""
+    import io as _io
+
+    from cuda_satabsearch_tpu.eval.results import iter_multiquery
+
+    stream = ("# QUERY ID = D1UBIA_\n"
+              "d1ndda_  54 6.75 13.4 1.9e-08\n"
+              "  1   3\n"
+              " 12  45\n"
+              "111 102\n"
+              "1101040 50\n"
+              "d2xyz__  7 0.5 -1.2 0.9\n")
+    [(qid, results)] = list(iter_multiquery(_io.StringIO(stream)))
+    assert qid == "D1UBIA_"
+    assert [(s, n) for s, n in results] == [
+        (54.0, "d1ndda_"), (50.0, "1101040"), (7.0, "d2xyz__")]
+
+
+def test_roc_n_tie_fair_order_invariant():
+    """ROC50 must not depend on the input order of tied entries."""
+    import numpy as np
+
+    from cuda_satabsearch_tpu.eval.roc import roc_n
+
+    scores = [9, 5, 5, 5, 5, 2, 2, 1]
+    labels = [1, 1, 0, 1, 0, 0, 1, 0]
+    base = roc_n(scores, labels, n=3)
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        p = rng.permutation(len(scores))
+        assert roc_n([scores[i] for i in p],
+                     [labels[i] for i in p], n=3) == base
+    # hand value: blocks 9(1p), 5(2p,2q), 2(1p,1q), 1(0p,1q); n=3
+    # fp1,fp2 in the 5-block: area += 2*1 + 2*(4)/(2*2) = 4; tp->3
+    # fp3 in the 2-block: area += 1*3 + 1*(1)/(2*1) = 3.5; total 7.5
+    assert abs(base - 7.5 / (3 * 4)) < 1e-12

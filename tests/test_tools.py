@@ -204,3 +204,21 @@ def test_write_html_from_plain_two_col_output():
     html = buf.getvalue()
     assert "selsses=none" in html
     assert html.index("d1hita_") < html.index("d2lowa_")
+
+
+def test_iter_ssemap_all_digit_result_rows_not_pairs():
+    """Nh3D-style all-digit result rows (7-digit ids, int scores) are
+    hits, not SSE pairs — only the exact '%3d %3d' form is a pair."""
+    import io as _io
+
+    from cuda_satabsearch_tpu.tools.ssemap import iter_ssemap_output
+
+    stream = ("# QUERY ID = 1101040\n"
+              "1102000 42\n"
+              "3402000 30\n"
+              "d1hit__ 12\n"
+              "  1   3\n")
+    hits = list(iter_ssemap_output(_io.StringIO(stream)))
+    assert [h.name for h in hits] == ["1102000", "3402000", "d1hit__"]
+    assert hits[0].ssemap == [] and hits[1].ssemap == []
+    assert hits[2].ssemap == [(1, 3)]
