@@ -15,8 +15,10 @@ import os
 
 import numpy as np
 
+from ..core.codes import TYPE_PAD
 from ..core.constants import MAXDIM
-from .pack import DEFAULT_BUCKETS, PackedBucket, PackedDB
+from .pack import (DEFAULT_BUCKETS, DMAT_PAD, PackedBucket, PackedDB,
+                   quantize_dmat)
 
 _LIB = None
 _TRIED = False
@@ -37,9 +39,26 @@ def load_library():
     if os.environ.get("SATAB_NATIVE", "1") == "0":
         return None
     path = _lib_path()
+    src = os.path.join(os.path.dirname(path), "satab_io.cpp")
+    if (os.path.exists(src)
+            and (not os.path.exists(path)
+                 or os.path.getmtime(src) > os.path.getmtime(path))):
+        # the committed .so can be stale relative to the source (or
+        # absent): try one quiet rebuild; any failure just means the
+        # pure-Python path is used
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path)],
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
     if not os.path.exists(path):
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
     lib.satab_pack_file.restype = ctypes.c_void_p
     lib.satab_pack_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                     ctypes.POINTER(ctypes.c_int),
@@ -129,8 +148,6 @@ def pack_database_file(path: str, buckets: tuple = DEFAULT_BUCKETS,
                               (cnt, cap, cap), np.int8)
             types = _as_array(lib.satab_bucket_types(h, b),
                               (cnt, cap), np.int8)
-            from .pack import quantize_dmat
-
             dmat = quantize_dmat(_as_array(lib.satab_bucket_dmat(h, b),
                                            (cnt, cap, cap), np.float32))
             orders = _as_array(lib.satab_bucket_orders(h, b),
@@ -149,9 +166,6 @@ def pack_database_file(path: str, buckets: tuple = DEFAULT_BUCKETS,
                     pad_shape = (extra,) + a.shape[1:]
                     return np.concatenate(
                         [a, np.full(pad_shape, fill, a.dtype)])
-
-                from ..core.codes import TYPE_PAD
-                from .pack import DMAT_PAD, quantize_dmat
 
                 tabhi = padn(tabhi, 0)
                 tablo = padn(tablo, 0)

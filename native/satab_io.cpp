@@ -12,6 +12,8 @@
 // arrays owned by an opaque handle; the Python wrapper views them as
 // numpy arrays and copies/keeps as needed.
 
+#include <sys/stat.h>
+
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -23,7 +25,10 @@
 
 namespace {
 
-constexpr int kLabelSize = 15;  // name buffer (reference LABELSIZE=8)
+constexpr int kLabelSize = 127;  // name buffer (reference LABELSIZE=8;
+// the whitespace tokenizer supports arbitrary-length names, so the
+// pack path must not silently truncate — names beyond this report an
+// error instead)
 constexpr int8_t kTypePad = 127;
 constexpr float kDmatPad = 1.0e9f;
 
@@ -121,8 +126,11 @@ bool parse_entry(Lexer& lx, Entry& e, std::string& err) {
     err = "EOF after name " + e.name;
     return false;
   }
-  e.order = static_cast<int>(std::strtol(tok, nullptr, 10));
-  if (e.order <= 0) {
+  char* oend;
+  e.order = static_cast<int>(std::strtol(tok, &oend, 10));
+  if (e.order <= 0 || oend != tok + len) {
+    // a partially-numeric token ('5x') must be an error, not 5 — the
+    // Python parser raises ValueError on the same input
     err = "bad order for " + e.name;
     return false;
   }
@@ -171,6 +179,12 @@ bool parse_entry(Lexer& lx, Entry& e, std::string& err) {
       }
       char* endp;
       float d = std::strtof(tok, &endp);
+      if (endp != tok + len) {
+        // reject non-numeric tokens instead of silently storing 0.0
+        // (the Python parser raises; distances feed the score kernel)
+        err = e.name + ": bad distance token " + std::string(tok, len);
+        return false;
+      }
       e.dmat[static_cast<size_t>(i) * n + j] = d;
       e.dmat[static_cast<size_t>(j) * n + i] = d;
     }
@@ -188,13 +202,25 @@ extern "C" {
 // than maxdim are skipped with a warning on stderr
 // (parsetableaux.c:457-465 behavior).
 void* satab_pack_file(const char* path, int maxdim, const int* caps,
-                      int ncaps) {
+                      int ncaps) try {
+  // reject non-regular files up front: fopen() on a directory succeeds
+  // on Linux and ftell then reports a bogus huge size whose allocation
+  // would throw (and a C++ exception must never cross extern "C" — it
+  // aborts the embedding Python process)
+  struct stat st;
+  if (::stat(path, &st) != 0 || !S_ISREG(st.st_mode)) return nullptr;
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(static_cast<size_t>(size));
+  if (size < 0) {
+    std::fclose(f);
+    return nullptr;
+  }
+  // +1 NUL sentinel: strtol/strtof on the file's LAST token must not
+  // scan past the allocation when the file lacks a trailing newline
+  std::vector<char> buf(static_cast<size_t>(size) + 1, '\0');
   if (size > 0 && std::fread(buf.data(), 1, static_cast<size_t>(size), f) !=
                       static_cast<size_t>(size)) {
     std::fclose(f);
@@ -208,7 +234,7 @@ void* satab_pack_file(const char* path, int maxdim, const int* caps,
 
   // pass 1: parse entries, group by bucket
   std::vector<std::vector<std::pair<int64_t, Entry>>> groups(ncaps);
-  Lexer lx{buf.data(), buf.data() + buf.size()};
+  Lexer lx{buf.data(), buf.data() + static_cast<size_t>(size)};
   int64_t pos = 0;
   Entry e;
   std::string err;
@@ -220,11 +246,24 @@ void* satab_pack_file(const char* path, int maxdim, const int* caps,
       ++db->nskipped;
       continue;
     }
+    if (static_cast<int>(e.name.size()) > kLabelSize) {
+      err = "entry name too long for native pack: " + e.name;
+      break;
+    }
+    bool placed = false;
     for (int b = 0; b < ncaps; ++b) {
       if (e.order <= caps[b]) {
         groups[b].emplace_back(pos, std::move(e));
+        placed = true;
         break;
       }
+    }
+    if (!placed) {
+      // order <= maxdim but beyond the last cap: the Python packer
+      // raises for this; a silent drop would leave a hole in the DB
+      err = "entry " + e.name + " order " + std::to_string(e.order) +
+            " exceeds max bucket cap";
+      break;
     }
     ++pos;
   }
@@ -274,6 +313,9 @@ void* satab_pack_file(const char* path, int maxdim, const int* caps,
     }
   }
   return db;
+} catch (...) {
+  // never let a C++ exception cross the extern "C" boundary
+  return nullptr;
 }
 
 const char* satab_error(void* h) {
@@ -326,14 +368,17 @@ char* satab_format_entry(const char* name, int order,
   std::string out;
   out.reserve(static_cast<size_t>(16 + n * n * 5 + 4 * n));
   char buf[64];
-  // header '%6s %4d': size dynamically so arbitrarily long names
-  // emit in full (byte-identical to the Python writer), never
-  // truncated into buf
-  int hlen = std::snprintf(nullptr, 0, "%6s %4d\n", name, n);
-  if (hlen < 0) return nullptr;
-  std::vector<char> hbuf(static_cast<size_t>(hlen) + 1);
-  std::snprintf(hbuf.data(), hbuf.size(), "%6s %4d\n", name, n);
-  out.append(hbuf.data(), static_cast<size_t>(hlen));
+  // header '%6s %4d', padded by CHARACTER count like Python's
+  // '{:>6s}' (printf %6s pads by BYTES, which diverges for multibyte
+  // UTF-8 names); arbitrarily long names emit in full
+  size_t nchars = 0;
+  for (const char* q = name; *q; ++q) {
+    if ((static_cast<unsigned char>(*q) & 0xC0) != 0x80) ++nchars;
+  }
+  for (size_t k = nchars; k < 6; ++k) out += ' ';
+  out += name;
+  std::snprintf(buf, sizeof(buf), " %4d\n", n);
+  out += buf;
   for (int i = 0; i < n; ++i) {
     for (int j = 0; j <= i; ++j) {
       if (i == j) {

@@ -104,3 +104,71 @@ def test_native_writer_matches_python_writer():
     entries.append(random_entry(rng, 5, "x" * 90))
     for e in entries:
         assert native.format_entry_native(e) == format_entry(e), e.name
+
+
+def test_native_error_paths_match_python(tmp_path):
+    """Round-5 hardening: inputs where the Python path raises must
+    raise (not crash, abort, or silently corrupt) on the native path."""
+    if not native.available():
+        pytest.skip("native lib not built")
+
+    # a directory: FileNotFoundError, not a process abort
+    with pytest.raises(FileNotFoundError):
+        native.pack_database_file(str(tmp_path))
+
+    # garbage distance token: ValueError, not silent 0.0
+    bad = tmp_path / "bad.ascii"
+    bad.write_text("d1x__ 2\ne \nOS e \n0.000\ngarbage 0.000\n")
+    with pytest.raises(ValueError):
+        native.pack_database_file(str(bad))
+    with pytest.raises(ValueError):
+        read_database(str(bad))
+
+    # partially-numeric order: ValueError, not 5
+    bad2 = tmp_path / "bad2.ascii"
+    bad2.write_text("d1x__ 2x\ne \nOS e \n0.000\n1.0 0.000\n")
+    with pytest.raises(ValueError):
+        native.pack_database_file(str(bad2))
+
+    # order <= maxdim but beyond the last bucket cap: ValueError like
+    # pack_database, not a silent drop leaving a None name hole
+    big = tmp_path / "big.ascii"
+    lines = ["dbig__ 20"]
+    lines += [" ".join(["e " if i == j else "OS" for j in range(i + 1)])
+              for i in range(20)]
+    lines += [" ".join(["%6.3f" % (0.0 if i == j else 5.0)
+                        for j in range(i + 1)]) for i in range(20)]
+    big.write_text("\n".join(lines) + "\n")
+    with pytest.raises(ValueError):
+        native.pack_database_file(str(big), buckets=(8, 16), maxdim=111)
+
+    # no trailing newline on the last token: parses, equal to Python
+    ok = tmp_path / "ok.ascii"
+    ok.write_text("d1y__ 2\ne \nOS e \n0.000\n1.500 0.000")  # no \n
+    ndb = native.pack_database_file(str(ok))
+    pdb = pack_database(read_database(str(ok)))
+    np.testing.assert_array_equal(ndb.buckets[0].dmat, pdb.buckets[0].dmat)
+
+    # long names (up to the 127-char native label) survive un-truncated
+    long = tmp_path / "long.ascii"
+    name = "d" + "x" * 60
+    long.write_text(f"{name} 2\ne \nOS e \n0.000\n1.500 0.000\n")
+    ndb = native.pack_database_file(str(long))
+    assert ndb.names == [name]
+
+
+def test_native_writer_multibyte_name_parity():
+    """Header padding counts CHARACTERS like Python's '{:>6s}' (printf
+    %6s pads by bytes, which diverged for multibyte UTF-8 names)."""
+    if not native.available():
+        pytest.skip("native lib not built")
+    from cuda_satabsearch_tpu.io.parser import TableauEntry
+    from cuda_satabsearch_tpu.io.writer import format_entry
+
+    t = np.array([0, 1], np.uint8)
+    hi = np.array([[0, 2], [2, 1]], np.uint8)
+    d = np.array([[0, 1.5], [1.5, 1]], np.float32)
+    for name in ("ab", "αβ", "d1ubia_"):
+        e = TableauEntry(name=name, order=2, tabhi=hi, tablo=hi.copy(),
+                         types=t, dmat=d)
+        assert native.format_entry_native(e) == format_entry(e)
