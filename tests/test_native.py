@@ -172,3 +172,37 @@ def test_native_writer_multibyte_name_parity():
         e = TableauEntry(name=name, order=2, tabhi=hi, tablo=hi.copy(),
                          types=t, dmat=d)
         assert native.format_entry_native(e) == format_entry(e)
+
+
+def test_native_randomized_roundtrip_parity(tmp_path):
+    """Fuzz: random synthetic DBs (orders 2-111, random names, mesh
+    padding) written by the Python writer must parse+pack BITWISE
+    identically through the native and pure-Python paths."""
+    if not native.available():
+        pytest.skip("native lib not built")
+    from conftest import random_entry
+    from cuda_satabsearch_tpu.io.writer import format_database
+
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        orders = rng.integers(2, 112, size=25)
+        entries = []
+        for i, o in enumerate(orders):
+            name = "d" + "".join(
+                rng.choice(list("abcdefgh123_"), size=int(
+                    rng.integers(3, 12))))
+            entries.append(random_entry(rng, int(o), f"{name}{i}"))
+        path = tmp_path / f"fuzz{trial}.ascii"
+        path.write_text(format_database(entries))
+        for pad_to in (1, 8):
+            ndb = native.pack_database_file(str(path), pad_to=pad_to)
+            pdb = pack_database(read_database(str(path)),
+                                pad_to=pad_to)
+            assert ndb.names == pdb.names
+            np.testing.assert_array_equal(ndb.orders, pdb.orders)
+            for nb, pb in zip(ndb.buckets, pdb.buckets):
+                np.testing.assert_array_equal(nb.tabhi, pb.tabhi)
+                np.testing.assert_array_equal(nb.tablo, pb.tablo)
+                np.testing.assert_array_equal(nb.types, pb.types)
+                np.testing.assert_array_equal(nb.dmat, pb.dmat)
+                np.testing.assert_array_equal(nb.index, pb.index)
